@@ -1,0 +1,277 @@
+"""MiT (Mix Vision Transformer / SegFormer encoder) — TPU-native flax version.
+
+Functional re-design of the reference backbone
+(``mmseg/models/backbones/mix_transformer.py:203-424``):
+
+- 4 hierarchical stages; each = OverlapPatchEmbed (strided conv, reference
+  ``:160-200``) → ``depth`` transformer blocks → LayerNorm.
+- Efficient self-attention with spatial reduction (SRA): K/V are computed on
+  a ``sr_ratio``-strided conv downsample of the token map (reference
+  ``:96-117``).
+- Mix-FFN: Dense → 3×3 depthwise conv (positional mixing) → GELU → Dense
+  (reference ``:20-55, :358-369``).
+- Stochastic depth with a linear decay schedule over all blocks
+  (reference ``:223``).
+
+TPU adaptations: NHWC layout end-to-end (feature maps stay (B, H, W, C);
+attention reshapes to (B, N, C) views only, which XLA treats as free),
+bf16-friendly compute dtype with f32 parameters, exact (erf) GELU matching
+``torch.nn.GELU``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["MiTConfig", "MiT", "MIT_VARIANTS"]
+
+# Parameter init matching the reference: truncated-normal(0.02) for dense
+# kernels, zeros for biases (reference ``mix_transformer.py:33-46``).
+_dense_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+def _conv_fanout_init(key, shape, dtype=jnp.float32):
+    """He-normal over fan_out (kh*kw*out/groups), reference ``:41-46``.
+
+    flax conv kernel shape: (kh, kw, in_per_group, out).
+    """
+    kh, kw, _, out = shape
+    fan_out = kh * kw * out
+    std = (2.0 / fan_out) ** 0.5
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def _dwconv_fanout_init(key, shape, dtype=jnp.float32):
+    """Depthwise conv: groups == out channels, so fan_out = kh*kw."""
+    kh, kw, _, out = shape
+    fan_out = kh * kw
+    std = (2.0 / fan_out) ** 0.5
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndarray:
+    """Per-sample stochastic depth (timm ``DropPath`` semantics)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+@dataclasses.dataclass(frozen=True)
+class MiTConfig:
+    embed_dims: tuple[int, ...] = (64, 128, 320, 512)
+    depths: tuple[int, ...] = (2, 2, 2, 2)
+    num_heads: tuple[int, ...] = (1, 2, 5, 8)
+    sr_ratios: tuple[int, ...] = (8, 4, 2, 1)
+    mlp_ratios: tuple[int, ...] = (4, 4, 4, 4)
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    patch_sizes: tuple[int, ...] = (7, 3, 3, 3)
+    patch_strides: tuple[int, ...] = (4, 2, 2, 2)
+    norm_eps: float = 1e-6  # block/stage norms (reference ``:378`` partial eps)
+
+
+# Reference variant table (``mix_transformer.py:373-424``).
+MIT_VARIANTS: dict[str, MiTConfig] = {
+    "mit_b0": MiTConfig(embed_dims=(32, 64, 160, 256), depths=(2, 2, 2, 2)),
+    "mit_b1": MiTConfig(embed_dims=(64, 128, 320, 512), depths=(2, 2, 2, 2)),
+    "mit_b2": MiTConfig(depths=(3, 4, 6, 3)),
+    "mit_b3": MiTConfig(depths=(3, 4, 18, 3)),
+    "mit_b4": MiTConfig(depths=(3, 8, 27, 3)),
+    "mit_b5": MiTConfig(depths=(3, 6, 40, 3)),
+}
+
+
+class OverlapPatchEmbed(nn.Module):
+    """Strided conv patch embed + LayerNorm (reference ``:160-200``)."""
+
+    embed_dim: int
+    patch_size: int
+    stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, H, W, C) -> (B, H', W', D)
+        pad = self.patch_size // 2
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            kernel_init=_conv_fanout_init,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        # Patch-embed norm keeps torch's default eps=1e-5 (not the 1e-6
+        # partial — reference ``:175`` uses bare nn.LayerNorm).
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return x
+
+
+class SRAttention(nn.Module):
+    """Spatial-reduction attention (reference ``Attention``, ``:58-117``)."""
+
+    dim: int
+    num_heads: int
+    sr_ratio: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    norm_eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+
+        q = nn.Dense(self.dim, use_bias=self.qkv_bias, kernel_init=_dense_init, dtype=self.dtype, name="q")(x)
+        q = q.reshape(b, h * w, self.num_heads, head_dim)
+
+        if self.sr_ratio > 1:
+            kv_in = nn.Conv(
+                self.dim,
+                (self.sr_ratio, self.sr_ratio),
+                strides=(self.sr_ratio, self.sr_ratio),
+                padding="VALID",
+                kernel_init=_conv_fanout_init,
+                dtype=self.dtype,
+                name="sr",
+            )(x)
+            # Post-SR norm keeps torch default eps=1e-5 (reference ``:77``).
+            kv_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(kv_in)
+        else:
+            kv_in = x
+        n_kv = kv_in.shape[1] * kv_in.shape[2]
+        kv = nn.Dense(2 * self.dim, use_bias=self.qkv_bias, kernel_init=_dense_init, dtype=self.dtype, name="kv")(kv_in)
+        kv = kv.reshape(b, n_kv, 2, self.num_heads, head_dim)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if self.attn_drop > 0.0:
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, self.dim)
+        out = nn.Dense(self.dim, kernel_init=_dense_init, dtype=self.dtype, name="proj")(out)
+        if self.proj_drop > 0.0:
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class MixFFN(nn.Module):
+    """Dense → 3×3 depthwise conv → GELU → Dense (reference ``Mlp``/``DWConv``)."""
+
+    dim: int
+    hidden_dim: int
+    drop: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x = nn.Dense(self.hidden_dim, kernel_init=_dense_init, dtype=self.dtype, name="fc1")(x)
+        x = nn.Conv(
+            self.hidden_dim,
+            (3, 3),
+            padding=[(1, 1), (1, 1)],
+            feature_group_count=self.hidden_dim,
+            kernel_init=_dwconv_fanout_init,
+            dtype=self.dtype,
+            name="dwconv",
+        )(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU is exact-erf
+        if self.drop > 0.0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.dim, kernel_init=_dense_init, dtype=self.dtype, name="fc2")(x)
+        if self.drop > 0.0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class MiTBlock(nn.Module):
+    """Pre-norm transformer block (reference ``Block``, ``:120-157``)."""
+
+    dim: int
+    num_heads: int
+    sr_ratio: int
+    mlp_ratio: int
+    qkv_bias: bool
+    drop: float
+    attn_drop: float
+    drop_path_rate: float
+    norm_eps: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
+        h = SRAttention(
+            self.dim,
+            self.num_heads,
+            self.sr_ratio,
+            self.qkv_bias,
+            self.attn_drop,
+            self.drop,
+            self.norm_eps,
+            self.dtype,
+            name="attn",
+        )(h, deterministic)
+        if not deterministic and self.drop_path_rate > 0.0:
+            h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("droppath"))
+        x = x + h
+        h = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
+        h = MixFFN(self.dim, int(self.dim * self.mlp_ratio), self.drop, self.dtype, name="mlp")(h, deterministic)
+        if not deterministic and self.drop_path_rate > 0.0:
+            h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("droppath"))
+        return x + h
+
+
+class MiT(nn.Module):
+    """4-stage hierarchical encoder returning features at 1/4, 1/8, 1/16, 1/32."""
+
+    config: MiTConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> list[jnp.ndarray]:
+        cfg = self.config
+        total_depth = sum(cfg.depths)
+        # Linear stochastic-depth decay across all blocks (reference ``:223``).
+        dpr = [cfg.drop_path_rate * i / max(total_depth - 1, 1) for i in range(total_depth)]
+        outs = []
+        cur = 0
+        for s in range(4):
+            x = OverlapPatchEmbed(
+                cfg.embed_dims[s],
+                cfg.patch_sizes[s],
+                cfg.patch_strides[s],
+                self.dtype,
+                name=f"patch_embed{s + 1}",
+            )(x)
+            for i in range(cfg.depths[s]):
+                x = MiTBlock(
+                    dim=cfg.embed_dims[s],
+                    num_heads=cfg.num_heads[s],
+                    sr_ratio=cfg.sr_ratios[s],
+                    mlp_ratio=cfg.mlp_ratios[s],
+                    qkv_bias=cfg.qkv_bias,
+                    drop=cfg.drop_rate,
+                    attn_drop=cfg.attn_drop_rate,
+                    drop_path_rate=dpr[cur + i],
+                    norm_eps=cfg.norm_eps,
+                    dtype=self.dtype,
+                    name=f"block{s + 1}_{i}",
+                )(x, deterministic)
+            x = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=self.dtype, name=f"norm{s + 1}")(x)
+            outs.append(x)
+            cur += cfg.depths[s]
+        return outs
