@@ -1,0 +1,72 @@
+"""Loss parity with torch (mmseg v0.13 reduction semantics)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from vss_cffm_tpu.models.losses import accuracy, clip_ce_loss, cross_entropy, ohem_weight
+
+
+def test_cross_entropy_matches_torch(rng):
+    logits = rng.randn(2, 8, 8, 5).astype(np.float32)
+    labels = rng.randint(0, 5, (2, 8, 8))
+    labels[0, :2] = 255  # ignored
+    got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels), 255))
+    lt = torch.from_numpy(logits).permute(0, 3, 1, 2)
+    tt = torch.from_numpy(labels).long()
+    # mmseg: reduction='none' then .mean() over ALL pixels
+    want = F.cross_entropy(lt, tt, reduction="none", ignore_index=255).mean().item()
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_accuracy_matches_reference_semantics(rng):
+    logits = rng.randn(2, 4, 4, 3).astype(np.float32)
+    labels = rng.randint(0, 3, (2, 4, 4))
+    got = float(accuracy(jnp.asarray(logits), jnp.asarray(labels)))
+    pred = logits.argmax(-1)
+    want = 100.0 * (pred == labels).mean()
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_clip_loss_t_plus_1(rng):
+    b, t, h, w, c = 2, 4, 8, 8, 5
+    logits = rng.randn(b, t + 1, h, w, c).astype(np.float32)
+    labels = rng.randint(0, c, (b, t, 2 * h, 2 * w))
+    out = clip_ce_loss(jnp.asarray(logits), jnp.asarray(labels))
+    assert set(out) == {"loss_seg", "acc_seg"}
+
+    # manual: 0.5*CE(frames, upsampled) + CE(last)
+    lt = torch.from_numpy(logits).permute(0, 1, 4, 2, 3)
+    up = F.interpolate(lt.reshape(-1, c, h, w), size=(2 * h, 2 * w), mode="bilinear",
+                       align_corners=False).reshape(b, t + 1, c, 2 * h, 2 * w)
+    tt = torch.from_numpy(labels).long()
+    ce_ori = F.cross_entropy(up[:, :-1].reshape(-1, c, 2 * h, 2 * w),
+                             tt.reshape(-1, 2 * h, 2 * w), reduction="none",
+                             ignore_index=255).mean()
+    ce_last = F.cross_entropy(up[:, -1], tt[:, -1], reduction="none",
+                              ignore_index=255).mean()
+    want = (0.5 * ce_ori + ce_last).item()
+    assert float(out["loss_seg"]) == pytest.approx(want, rel=1e-4)
+
+
+@pytest.mark.parametrize("tp_case", ["t3", "2t", "2t1"])
+def test_clip_loss_other_cases_run(rng, tp_case):
+    b, t, h, w, c = 1, 3, 4, 4, 5
+    tp = {"t3": t + 3, "2t": 2 * t, "2t1": 2 * t + 1}[tp_case]
+    logits = rng.randn(b, tp, h, w, c).astype(np.float32)
+    labels = rng.randint(0, c, (b, t, h, w))
+    out = clip_ce_loss(jnp.asarray(logits), jnp.asarray(labels))
+    assert np.isfinite(float(out["loss_seg"]))
+
+
+def test_ohem_weight_keeps_hard_pixels(rng):
+    logits = rng.randn(1, 8, 8, 4).astype(np.float32) * 5
+    labels = rng.randint(0, 4, (1, 8, 8))
+    labels[0, 0, :] = 255
+    w = np.asarray(ohem_weight(jnp.asarray(logits), jnp.asarray(labels), min_kept=10))
+    assert w.shape == labels.shape
+    assert w[0, 0].sum() == 0  # ignored pixels never kept
+    assert w.sum() >= 1

@@ -1,0 +1,127 @@
+"""Segmentation losses with mmseg-v0.13 reduction semantics.
+
+Parity notes (reference ``mmseg/models/losses``):
+
+- ``cross_entropy`` (``cross_entropy_loss.py:9-33`` + ``utils.py:26-56``):
+  per-pixel CE with ``ignore_index`` pixels contributing 0 to the numerator
+  but still counted in the ``mean`` denominator — i.e.
+  ``sum(ce * valid) / num_all_pixels``, *not* ``/ num_valid``.
+- ``accuracy`` (``accuracy.py:4-49``): top-1 match rate over *all* pixels —
+  ignored pixels count as incorrect (no masking in the reference).
+- ``clip_ce_loss`` (``decode_head.py:743-835``): the clip loss of
+  ``BaseDecodeHead_clips_flow`` — splits (B, T', ...) logits against
+  (B, T, ...) labels by the T'∈{T+1, T+3, 2T, 2T+1} case table, bilinearly
+  upsamples logits to label resolution, and returns
+  ``0.5·CE(per-frame) + 1.0·CE(refined-last)``.
+
+Logits here are NHWC: (..., H, W, num_classes); labels are (..., H, W) int32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import resize_bilinear
+
+__all__ = ["cross_entropy", "accuracy", "clip_ce_loss", "ohem_weight"]
+
+
+def cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: int = 255,
+    class_weight: jnp.ndarray | None = None,
+    pixel_weight: jnp.ndarray | None = None,
+    avg_factor: float | None = None,
+) -> jnp.ndarray:
+    """Mean CE over all pixels; ignored pixels contribute zero loss."""
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    if class_weight is not None:
+        nll = nll * class_weight[safe_labels]
+    nll = jnp.where(valid, nll, 0.0)
+    if pixel_weight is not None:
+        nll = nll * pixel_weight
+    if avg_factor is not None:
+        return nll.sum() / avg_factor
+    return nll.mean()
+
+
+def accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Top-1 accuracy in percent over all pixels (reference semantics)."""
+    pred = jnp.argmax(logits, axis=-1)
+    return 100.0 * jnp.mean((pred == labels).astype(jnp.float32))
+
+
+def ohem_weight(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: int = 255,
+    thresh: float = 0.7,
+    min_kept: int = 100000,
+) -> jnp.ndarray:
+    """Online hard example mining pixel weights.
+
+    TPU-native reformulation of ``OHEMPixelSampler``
+    (``mmseg/core/seg/sampler/ohem_pixel_sampler.py``): instead of boolean
+    indexing (dynamic shapes), returns a static-shape 0/1 weight map that
+    keeps pixels whose gt-class probability is below the effective threshold
+    ``max(thresh, prob_sorted[min_kept])``.
+    """
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    gt_prob = jnp.take_along_axis(prob, safe[..., None], axis=-1)[..., 0]
+    gt_prob = jnp.where(valid, gt_prob, jnp.inf)
+    flat = jnp.sort(gt_prob.reshape(-1))
+    k = jnp.minimum(min_kept, flat.shape[0]) - 1
+    eff_thresh = jnp.maximum(flat[k], thresh)
+    return (valid & (gt_prob < eff_thresh)).astype(jnp.float32)
+
+
+def _flatten_frames(x: jnp.ndarray) -> jnp.ndarray:
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def clip_ce_loss(
+    seg_logits: jnp.ndarray,  # (B, T', h, w, C)
+    seg_labels: jnp.ndarray,  # (B, T, H, W) int32
+    ignore_index: int = 255,
+) -> dict[str, jnp.ndarray]:
+    """The clip loss case table of ``BaseDecodeHead_clips_flow.losses``."""
+    tp = seg_logits.shape[1]
+    tl = seg_labels.shape[1]
+    if tp == tl + 1:  # CFFM / CFFM++ train output
+        logit_ori, logit_last = seg_logits[:, :-1], seg_logits[:, -1:]
+        label_ori, label_last = seg_labels, seg_labels[:, -1:]
+    elif tp == tl + 3:
+        logit_ori, logit_last = seg_logits[:, :-3], seg_logits[:, -3:]
+        label_ori = seg_labels
+        label_last = jnp.concatenate([seg_labels[:, -1:]] * 3, axis=1)
+    elif tp == 2 * tl:
+        logit_ori, logit_last = seg_logits[:, :-1], seg_logits[:, -1:]
+        label_ori = jnp.concatenate([seg_labels, seg_labels], axis=1)[:, :-1]
+        label_last = seg_labels[:, -1:]
+    elif tp == 2 * tl + 1:
+        logit_ori, logit_last = seg_logits[:, :-2], seg_logits[:, -2:]
+        label_ori = jnp.concatenate([seg_labels, seg_labels], axis=1)[:, :-1]
+        label_last = jnp.concatenate([seg_labels[:, -1:]] * 2, axis=1)
+    else:
+        raise ValueError(f"unsupported logits/labels clip lengths {tp}/{tl}")
+
+    size = seg_labels.shape[2:4]
+    logit_ori = resize_bilinear(_flatten_frames(logit_ori), size)
+    logit_last = resize_bilinear(_flatten_frames(logit_last), size)
+    label_ori = _flatten_frames(label_ori)
+    label_last = _flatten_frames(label_last)
+
+    loss = 0.5 * cross_entropy(logit_ori, label_ori, ignore_index) + cross_entropy(
+        logit_last, label_last, ignore_index
+    )
+    return {
+        "loss_seg": loss,
+        "acc_seg": accuracy(logit_ori, label_ori),
+    }

@@ -1,0 +1,105 @@
+"""Segmentors: clip (video) and single-image encoder-decoders.
+
+Re-design of the reference segmentors
+(``mmseg/models/segmentors/encoder_decoder.py``):
+
+- ``CFFMSegmentor`` ≙ ``EncoderDecoder_clips`` (``:295-591``): training
+  flattens the (B, T) clip into a (B·T) frame batch through the backbone
+  (``:436-441``) — frames are embarrassingly parallel until the CFFM block —
+  and threads (batch_size, num_clips) into the clip head.
+- ``ImageSegmentor`` ≙ ``EncoderDecoder`` (``:13-293``) with a SegFormer
+  head — the single-frame zoo surface.
+
+These are pure flax modules: train/test drivers (loss, softmax/flip/argmax
+TTA, sliding window) live in ``train/`` and ``eval/`` as jitted functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .heads import CFFMHead, CFFMHeadConfig, SegFormerHead
+from .mit import MIT_VARIANTS, MiT, MiTConfig
+
+__all__ = ["SegmentorConfig", "CFFMSegmentor", "ImageSegmentor", "build_model_config"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentorConfig:
+    backbone: str = "mit_b1"
+    head: CFFMHeadConfig = dataclasses.field(default_factory=CFFMHeadConfig)
+
+    @property
+    def backbone_config(self) -> MiTConfig:
+        return MIT_VARIANTS[self.backbone]
+
+
+def build_model_config(variant: str = "b1", num_classes: int = 124, num_clips: int = 4,
+                       mode: str = "cffm") -> SegmentorConfig:
+    """CFFM-Bx configs mirroring ``local_configs/cffm/B{0,1,2,5}/*`` —
+    decoder depth per variant: B0=1, B1/B2=2, B5=4 (SURVEY §6)."""
+    from .cffm_transformer import CFFMDecoderConfig
+
+    depths = {"b0": 1, "b1": 2, "b2": 2, "b5": 4}[variant]
+    backbone = f"mit_{variant}"
+    in_channels = tuple(MIT_VARIANTS[backbone].embed_dims)
+    head = CFFMHeadConfig(
+        in_channels=in_channels,
+        embed_dim=256,
+        num_classes=num_classes,
+        num_clips=num_clips,
+        decoder=CFFMDecoderConfig(dim=256, depth=depths),
+        mode=mode,
+    )
+    return SegmentorConfig(backbone=backbone, head=head)
+
+
+class CFFMSegmentor(nn.Module):
+    """Video clip segmentor: MiT backbone + CFFM clip head."""
+
+    config: SegmentorConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = MiT(self.config.backbone_config, self.dtype)
+        self.decode_head = CFFMHead(self.config.head, self.dtype)
+
+    def __call__(
+        self,
+        imgs: jnp.ndarray,  # (B, T, H, W, 3)
+        train: bool = False,
+        cluster_centers: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        b, t, h, w, c = imgs.shape
+        flat = imgs.reshape(b * t, h, w, c)
+        feats = self.backbone(flat, deterministic=not train)
+        return self.decode_head(feats, b, t, train, cluster_centers)
+
+    def prototype_features(self, imgs: jnp.ndarray) -> jnp.ndarray:
+        """Fused 1/8 features of each frame, for CFFM++ phase-A k-means.
+
+        imgs (B, T, H, W, 3) -> (B, T, h/8, w/8, embed_dim).
+        """
+        b, t, h, w, c = imgs.shape
+        feats = self.backbone(imgs.reshape(b * t, h, w, c), deterministic=True)
+        fused = self.decode_head.fused_features(feats)
+        return fused.reshape(b, t, *fused.shape[1:])
+
+
+class ImageSegmentor(nn.Module):
+    """Single-frame encoder-decoder (SegFormer)."""
+
+    config: SegmentorConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = MiT(self.config.backbone_config, self.dtype)
+        self.decode_head = SegFormerHead(self.config.head, self.dtype)
+
+    def __call__(self, imgs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        feats = self.backbone(imgs, deterministic=not train)
+        return self.decode_head(feats, train)
