@@ -1,0 +1,128 @@
+"""Prefetching host-side data loaders.
+
+The reference feeds 4 GPUs from per-rank ``DataLoader`` worker *processes*
+(``mmseg/datasets/builder.py:141-177``). On TPU the equivalent is a per-host
+pipeline that keeps the chips fed: a thread pool decodes JPEG clips (cv2
+releases the GIL during imdecode/resize), a bounded queue gives double
+buffering, and batches land on device via ``jax.device_put`` with the batch
+sharding, overlapping H2D with compute.
+
+Determinism: the sample RNG is ``RandomState(seed, epoch, index)``-derived,
+so a run is reproducible for a given seed regardless of thread scheduling
+(matching the reference's seeded ``worker_init_fn`` intent,
+``builder.py:160-177``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+from .vspw import VSPWVideoDataset
+
+__all__ = ["TrainLoader", "iterate_eval"]
+
+
+def _sample_rng(seed: int, epoch: int, index: int) -> np.random.RandomState:
+    return np.random.RandomState(
+        np.random.PCG64(np.random.SeedSequence([seed, epoch, index]))
+    )
+
+
+class TrainLoader:
+    """Infinite shuffled clip batches: (B, T, H, W, 3) f32 + (B, T, H, W) i32.
+
+    ``shard_id``/``num_shards`` split the video list across hosts the way
+    ``DistributedSampler`` splits it across ranks.
+    """
+
+    def __init__(
+        self,
+        dataset: VSPWVideoDataset,
+        batch_size: int,
+        seed: int = 0,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        shard_id: int = 0,
+        num_shards: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+
+    def _index_stream(self) -> Iterator[tuple[int, int]]:
+        epoch = 0
+        n = len(self.dataset)
+        while True:
+            order = np.random.RandomState(self.seed + epoch).permutation(n)
+            order = order[self.shard_id :: self.num_shards]
+            # drop_last semantics: only full batches (reference builder drop_last)
+            usable = len(order) - len(order) % self.batch_size
+            for i in order[:usable]:
+                yield epoch, int(i)
+            epoch += 1
+
+    def __iter__(self) -> Iterator[dict]:
+        stream = self._index_stream()
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                pending = []
+                try:
+                    while not stop.is_set():
+                        while len(pending) < self.batch_size * 2:
+                            epoch, idx = next(stream)
+                            rng = _sample_rng(self.seed, epoch, idx)
+                            pending.append(pool.submit(self.dataset.get_train_item, idx, rng))
+                        batch_items = [pending.pop(0).result() for _ in range(self.batch_size)]
+                        batch = {
+                            "imgs": np.stack([b["imgs"] for b in batch_items]),
+                            "labels": np.stack([b["labels"] for b in batch_items]),
+                        }
+                        out_q.put(batch)
+                except Exception as e:  # surface worker errors to the consumer
+                    out_q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def iterate_eval(
+    dataset: VSPWVideoDataset,
+    num_workers: int = 4,
+    prefetch: int = 8,
+    shard_id: int = 0,
+    num_shards: int = 1,
+) -> Iterator[dict]:
+    """Sequential eval items (one clip per frame), prefetched."""
+    indices = list(range(shard_id, len(dataset), num_shards))
+    with ThreadPoolExecutor(num_workers) as pool:
+        pending = []
+        it = iter(indices)
+        for _ in range(min(prefetch, len(indices))):
+            pending.append(pool.submit(dataset.get_test_item, next(it)))
+        while pending:
+            item = pending.pop(0).result()
+            try:
+                pending.append(pool.submit(dataset.get_test_item, next(it)))
+            except StopIteration:
+                pass
+            yield item

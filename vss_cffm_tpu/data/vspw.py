@@ -1,0 +1,211 @@
+"""VSPW clip dataset: directory scanning + clip samplers + item assembly.
+
+Re-design of ``CustomDataset_video2`` / ``VSPWDataset2``
+(reference ``mmseg/datasets/custom.py:1959-2713``, ``vspw.py:151-294``):
+
+Tree layout::
+
+    data_root/
+      train.txt / val.txt / test.txt       (one video name per line)
+      data/<video>/origin/*.jpg            (frames)
+      data/<video>/mask/*.png              (palette PNG annotations)
+
+Sampling semantics reproduced exactly:
+
+- **train** (``prepare_train_img2:2242-2324``): one sample per video per
+  epoch; 0.5-probability whole-video reversal; random target index drawn
+  from the tail that admits the full dilation window; clip indices =
+  ``target + dilation`` ++ ``target`` (default dilation ``[-9, -6, -3]``).
+- **test** (``prepare_test_img2:2355-2445``): one clip per frame; dilations
+  clamped into range; the img_index 3..8 special-case schedules for
+  ``dilation == [-9, -6, -3]`` (``:2376-2388``).
+- **prototype** (``prepare_train_val:2458-2522``): 10 uniformly spaced
+  frames per video over train+val+test lists.
+
+Labels are palette PNGs decoded unchanged; ``reduce_zero_label`` maps
+0→255(ignore), k→k−1 (``loading.py:91-224``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Sequence
+
+import cv2
+import numpy as np
+from PIL import Image
+
+from . import transforms as T
+
+__all__ = ["VSPWVideoDataset", "load_label", "reduce_zero_label"]
+
+
+def load_label(path: str, reduce_zero: bool = True) -> np.ndarray:
+    seg = np.array(Image.open(path))
+    if reduce_zero:
+        seg = reduce_zero_label(seg)
+    return seg
+
+
+def reduce_zero_label(seg: np.ndarray) -> np.ndarray:
+    """0 → 255 (ignore), k → k−1 (reference ``loading.py:205-214``)."""
+    seg = seg.astype(np.int32)
+    seg = np.where(seg == 0, 255, seg - 1)
+    return np.where(seg == 254, 255, seg).astype(np.uint8)
+
+
+@dataclasses.dataclass
+class ClipSample:
+    video: str
+    frame_indices: list[int]
+    target_frame: str  # filename of the target (last) frame
+
+
+class VSPWVideoDataset:
+    """Scans the VSPW tree and yields training / eval / prototype clips."""
+
+    def __init__(
+        self,
+        data_root: str,
+        split: str = "train",
+        dilation: Sequence[int] = (-9, -6, -3),
+        crop_size: tuple[int, int] = (480, 480),
+        img_scale: tuple[int, int] = (853, 480),
+        flip_video: bool = True,
+        reduce_zero: bool = True,
+        img_suffix: str = ".jpg",
+        seg_suffix: str = ".png",
+    ):
+        self.data_root = data_root
+        self.split = split
+        self.dilation = list(dilation)
+        self.crop_size = crop_size
+        self.img_scale = img_scale
+        self.flip_video = flip_video
+        self.reduce_zero = reduce_zero
+        self.img_suffix = img_suffix
+        self.seg_suffix = seg_suffix
+
+        if split == "train_val_generate_prototype":
+            names = []
+            for part in ("train", "val", "test"):
+                with open(os.path.join(data_root, part + ".txt")) as f:
+                    names += [ln.rstrip("\n") for ln in f if ln.strip()]
+        else:
+            with open(os.path.join(data_root, split + ".txt")) as f:
+                names = [ln.rstrip("\n") for ln in f if ln.strip()]
+        self.videos = names
+        self.frames = {
+            v: sorted(os.listdir(os.path.join(data_root, "data", v, "origin")))
+            for v in names
+        }
+        self.frame_index = [(v, f) for v in names for f in self.frames[v]]
+
+    # ---------------------------------------------------------------- sizes
+    def __len__(self) -> int:
+        if self.split in ("train", "train_val_generate_prototype"):
+            return len(self.videos)
+        return len(self.frame_index)
+
+    # ------------------------------------------------------------- samplers
+    def sample_train_clip(self, idx: int, rng: np.random.RandomState) -> ClipSample:
+        video = self.videos[idx]
+        frames = self.frames[video]
+        if self.flip_video and rng.rand() < 0.5:
+            frames = frames[::-1]
+        tail = len(frames) + self.dilation[0]  # frames admitting full window
+        assert tail >= 1, f"video {video} shorter than dilation window"
+        target = rng.randint(0, tail) - self.dilation[0]
+        indices = [target + d for d in self.dilation] + [target]
+        return ClipSample(video, indices, frames[target]), frames
+
+    def sample_test_clip(self, idx: int) -> ClipSample:
+        video, frame = self.frame_index[idx]
+        frames = self.frames[video]
+        t = frames.index(frame)
+        indices = [t + d for d in self.dilation if 0 <= t + d < len(frames)]
+        indices.append(t)
+        if self.dilation == [-9, -6, -3]:
+            special = {
+                3: [0, 1, 2, 3], 4: [0, 2, 3, 4], 5: [0, 2, 4, 5],
+                6: [0, 2, 4, 6], 7: [0, 3, 5, 7], 8: [0, 3, 6, 8],
+            }
+            if t in special:
+                indices = special[t]
+        return ClipSample(video, indices, frame)
+
+    def sample_prototype_clip(self, idx: int, num_frames: int = 10) -> ClipSample:
+        video = self.videos[idx]
+        frames = self.frames[video]
+        interval = len(frames) // num_frames
+        indices = [int((i + 0.5) * interval) for i in range(num_frames)]
+        return ClipSample(video, indices, frames[indices[-1]])
+
+    # ------------------------------------------------------------------- IO
+    def _img_path(self, video: str, frame: str) -> str:
+        return os.path.join(self.data_root, "data", video, "origin", frame)
+
+    def _seg_path(self, video: str, frame: str) -> str:
+        return os.path.join(
+            self.data_root, "data", video, "mask",
+            frame.replace(self.img_suffix, self.seg_suffix),
+        )
+
+    def _load_frames(self, video: str, frames: list[str], indices: list[int], with_seg: bool):
+        imgs, segs = [], ([] if with_seg else None)
+        for i in indices:
+            name = frames[i]
+            img = cv2.imread(self._img_path(video, name), cv2.IMREAD_COLOR)
+            assert img is not None, self._img_path(video, name)
+            imgs.append(img)
+            if with_seg:
+                segs.append(load_label(self._seg_path(video, name), self.reduce_zero))
+        return imgs, segs
+
+    # ------------------------------------------------------------- assembly
+    def get_train_item(self, idx: int, rng: np.random.RandomState) -> dict:
+        """Full train pipeline → dict(imgs (T,H,W,3) f32, labels (T,H,W) i32)."""
+        sample, frames = self.sample_train_clip(idx, rng)
+        imgs, segs = self._load_frames(sample.video, frames, sample.frame_indices, True)
+        imgs, segs = T.random_scale_clip(imgs, segs, rng, self.img_scale)
+        imgs, segs = T.random_crop_clip(imgs, segs, rng, self.crop_size)
+        imgs, segs, _ = T.random_flip_clip(imgs, segs, rng)
+        imgs = T.photometric_distortion_clip(imgs, rng)
+        imgs = T.normalize_clip(imgs)
+        imgs, segs = T.pad_clip(imgs, segs, self.crop_size)
+        return {
+            "imgs": np.stack(imgs).astype(np.float32),
+            "labels": np.stack(segs).astype(np.int32),
+            "video": sample.video,
+            "frame": sample.target_frame,
+        }
+
+    def get_test_item(self, idx: int) -> dict:
+        """Eval pipeline (AlignedResize /32) → imgs (T,H',W',3) + meta."""
+        sample = self.sample_test_clip(idx)
+        frames = self.frames[sample.video]
+        imgs, _ = self._load_frames(sample.video, frames, sample.frame_indices, False)
+        ori_shape = imgs[0].shape[:2]
+        imgs, _ = T.aligned_resize_clip(imgs, None, self.img_scale)
+        return {
+            "imgs": np.stack(T.normalize_clip(imgs)).astype(np.float32),
+            "ori_shape": ori_shape,
+            "video": sample.video,
+            "frame": sample.target_frame,
+        }
+
+    def get_prototype_item(self, idx: int, num_frames: int = 10) -> dict:
+        sample = self.sample_prototype_clip(idx, num_frames)
+        frames = self.frames[sample.video]
+        imgs, _ = self._load_frames(sample.video, frames, sample.frame_indices, False)
+        imgs, _ = T.aligned_resize_clip(imgs, None, self.img_scale)
+        return {
+            "imgs": np.stack(T.normalize_clip(imgs)).astype(np.float32),
+            "video": sample.video,
+        }
+
+    def load_gt(self, idx: int) -> np.ndarray:
+        """Ground-truth mask of the target frame of test item ``idx``."""
+        video, frame = self.frame_index[idx]
+        return load_label(self._seg_path(video, frame), self.reduce_zero)
