@@ -1,0 +1,41 @@
+"""Device mesh + sharding helpers (the NCCL/DDP replacement).
+
+The reference's entire distributed story is data parallelism over NCCL
+(SURVEY §2.4): DDP gradient all-reduce, SyncBN stat all-reduce, scalar-log
+all-reduce. TPU-natively all of that collapses into *one* mesh axis and
+GSPMD: batches are sharded over ``data``, parameters are replicated, and
+every cross-device reduction (grad sum, BN batch moments, loss means,
+confusion-matrix accumulation) is an XLA collective inserted automatically
+by jit over ICI. No explicit backend code — the mesh *is* the backend.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["create_mesh", "shard_batch", "replicate", "batch_sharding"]
+
+
+def create_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Device-put a host batch with the leading axis sharded over the mesh."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree (params / optimizer state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,84 @@
+"""Jitted train / eval steps.
+
+One fused XLA program per step (the replacement for the mmcv Runner's
+``train_step`` + OptimizerHook + DDP machinery, reference
+``mmseg/models/segmentors/base.py:151-239`` + ``apis/train.py``):
+forward (BN batch stats over the *global* sharded batch ≙ SyncBN), clip
+loss, backward, AdamW update with paramwise lr/wd — all inside jit over the
+mesh, gradients reduced by GSPMD collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.losses import clip_ce_loss
+from .state import TrainState
+
+__all__ = ["make_train_step", "make_eval_step"]
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    ignore_index: int = 255,
+    donate: bool = True,
+) -> Callable:
+    """Returns jitted ``(state, batch, rng) -> (state, metrics)``.
+
+    ``batch`` = {"imgs": (B,T,H,W,3) f32, "labels": (B,T,H,W) i32} and
+    optionally "cluster_centers" (B, n, C) for CFFM++ finetune.
+    """
+
+    def step(state: TrainState, batch, rng):
+        rngs = {
+            "dropout": jax.random.fold_in(rng, 0),
+            "droppath": jax.random.fold_in(rng, 1),
+        }
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["imgs"],
+                True,
+                batch.get("cluster_centers"),
+                rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            losses = clip_ce_loss(out, batch["labels"], ignore_index)
+            return losses["loss_seg"], (losses, mutated["batch_stats"])
+
+        grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        metrics = dict(losses)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model) -> Callable:
+    """Jitted eval forward: logits for a (B,T,H,W,3) clip at 1/4 resolution."""
+
+    @functools.partial(jax.jit, static_argnums=())
+    def step(params, batch_stats, imgs, cluster_centers=None):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs,
+            False,
+            cluster_centers,
+        )
+
+    return step
