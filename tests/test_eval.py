@@ -1,0 +1,116 @@
+"""Metrics parity, k-means, end-to-end eval driver, prototype pipeline."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fixtures import make_fake_vspw
+from vss_cffm_tpu.data import VSPWVideoDataset, iterate_eval
+from vss_cffm_tpu.eval import (
+    ClipEvaluator,
+    ClusterStore,
+    confusion_matrix_np,
+    eval_metrics,
+    fwiou,
+    generate_prototypes,
+    mean_iou_seen,
+    update_confusion,
+    video_consistency,
+)
+from vss_cffm_tpu.ops.kmeans import kmeans
+from test_heads_segmentor import tiny_segmentor
+
+
+@pytest.fixture(scope="module")
+def vspw_root(tmp_path_factory):
+    return make_fake_vspw(str(tmp_path_factory.mktemp("vspw")), hw=(64, 96),
+                          num_classes=5)
+
+
+def test_update_confusion_matches_numpy(rng):
+    c = 6
+    pred = rng.randint(0, c, (40, 40))
+    label = rng.randint(0, c, (40, 40))
+    label[:5] = 255
+    got = np.asarray(update_confusion(jnp.zeros((c, c), jnp.int32),
+                                      jnp.asarray(pred), jnp.asarray(label), c))
+    want = confusion_matrix_np(pred, label, c)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_eval_metrics_perfect_prediction(rng):
+    c = 4
+    label = rng.randint(0, c, (100,))
+    cm = confusion_matrix_np(label, label, c)
+    m = eval_metrics(cm)
+    assert m["mIoU"] == pytest.approx(1.0)
+    assert m["aAcc"] == pytest.approx(1.0)
+    assert mean_iou_seen(cm) == pytest.approx(1.0)
+    assert fwiou(cm) == pytest.approx(1.0)
+
+
+def test_mean_iou_seen_masks_absent_classes():
+    cm = np.zeros((3, 3))
+    cm[0, 0] = 10  # class 0 perfect
+    cm[1, 1] = 5
+    cm[1, 0] = 5  # class 1: IoU = 5 / (10 + 5 + 5 - 5)... gt=10, pred 5 correct
+    # class 2 never appears in GT -> masked out of the seen-mean
+    got = mean_iou_seen(cm)
+    iou0 = 10 / 15
+    iou1 = 5 / 10
+    assert got == pytest.approx((iou0 + iou1) / 2)
+
+
+def test_video_consistency_static_video():
+    g = [np.ones((4, 4), int)] * 10
+    p = [np.ones((4, 4), int)] * 10
+    accs = video_consistency(g, p, 8)
+    assert accs == [1.0, 1.0]
+    # prediction flickers -> zero consistency
+    p2 = [np.full((4, 4), i % 2) for i in range(10)]
+    accs2 = video_consistency(g, p2, 8)
+    assert accs2 == [0.0, 0.0]
+
+
+def test_kmeans_separates_clusters(rng):
+    a = rng.randn(100, 8) + 10
+    b = rng.randn(100, 8) - 10
+    pts = jnp.asarray(np.concatenate([a, b]).astype(np.float32))
+    centers, labels = kmeans(jax.random.PRNGKey(0), pts, 2, 10)
+    labels = np.asarray(labels)
+    assert len(set(labels[:100])) == 1 and len(set(labels[100:])) == 1
+    assert labels[0] != labels[100]
+    got = np.sort(np.asarray(centers)[:, 0])
+    np.testing.assert_allclose(got, [-10, 10], atol=0.5)
+
+
+def test_clip_evaluator_end_to_end(vspw_root, tmp_path):
+    model = tiny_segmentor()
+    ds = VSPWVideoDataset(vspw_root, "val")
+    x = jnp.zeros((1, 4, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ev = ClipEvaluator(model, variables["params"], variables["batch_stats"], num_classes=5)
+    out = ev.run(iterate_eval(ds, num_workers=2), dataset=ds, keep_for_vc=True,
+                 save_dir=str(tmp_path / "preds"))
+    assert 0.0 <= out["aAcc"] <= 1.0
+    assert "VC8" in out and "mIoU_seen" in out and "FWIoU" in out
+    # PNGs written per frame
+    import glob
+    assert len(glob.glob(str(tmp_path / "preds" / "*" / "*.png"))) == 15
+
+
+def test_prototype_generation_and_store(vspw_root, tmp_path):
+    model = tiny_segmentor()
+    ds = VSPWVideoDataset(vspw_root, "train_val_generate_prototype")
+    x = jnp.zeros((1, 4, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    save = str(tmp_path / "centers")
+    generate_prototypes(model, variables["params"], variables["batch_stats"], ds, save,
+                        n_clusters=7, num_frames=4)
+    store = ClusterStore(save, n_clusters=7)
+    c = store("vid_a")
+    assert c.shape == (7, 32)
+    batch = store.batch(["vid_a", "vid_b"])
+    assert batch.shape == (2, 7, 32)
