@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Evaluate a checkpoint on VSPW (mIoU / FWIoU / VC) and/or dump predictions.
+
+Replaces the reference eval stack (``tools/test.py`` + ``apis/test.py``):
+streaming clip eval with an on-device confusion matrix; ``--format-only``
+writes palette PNGs compatible with the reference's ``result_submission``
+layout (and thus with ``VC_perclip.py``-style offline scoring — though VC is
+also computed inline here with ``--vc``).
+
+Usage::
+
+    python tools/test.py configs/cffm_b1_vspw_160k.py work_dirs/.../ckpt \
+        [--split val] [--eval] [--vc] [--format-only --show-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vss_cffm_tpu.config import apply_overrides, load_config
+from vss_cffm_tpu.data import VSPWVideoDataset, iterate_eval
+from vss_cffm_tpu.eval import ClipEvaluator, ClusterStore
+from vss_cffm_tpu.models import CFFMSegmentor
+from vss_cffm_tpu.train import CheckpointManager, TrainState, build_optimizer
+from vss_cffm_tpu.utils import get_logger
+
+
+def load_state(cfg, model, ckpt_dir, sample, finetune, store):
+    init_kwargs = {}
+    if finetune:
+        init_kwargs["cluster_centers"] = jnp.zeros((1, store.n_clusters, cfg.model.head.embed_dim))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample, **init_kwargs)
+    tx = build_optimizer(variables["params"], cfg.optim)
+    state = TrainState.create(variables, tx)
+    mgr = CheckpointManager(ckpt_dir)
+    params, batch_stats = mgr.load_params(state)
+    return params, batch_stats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("checkpoint")
+    ap.add_argument("--split", default="val")
+    ap.add_argument("--eval", action="store_true", default=True)
+    ap.add_argument("--no-eval", dest="eval", action="store_false")
+    ap.add_argument("--vc", action="store_true", help="compute VC8/VC16 inline")
+    ap.add_argument("--format-only", action="store_true")
+    ap.add_argument("--show-dir", default="result_submission")
+    ap.add_argument("--out", help="dump metrics JSON here")
+    ap.add_argument("--options", nargs="*", default=[])
+    args = ap.parse_args()
+
+    cfg = apply_overrides(load_config(args.config), args.options)
+    logger = get_logger()
+    model = CFFMSegmentor(cfg.model, dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32)
+    finetune = cfg.model.head.mode == "finetune"
+    store = ClusterStore(cfg.cluster_dir) if finetune else None
+
+    dataset = VSPWVideoDataset(
+        cfg.data.data_root, args.split, dilation=cfg.data.dilation,
+        img_scale=cfg.data.img_scale,
+    )
+    t = len(cfg.data.dilation) + 1
+    sample = jnp.zeros((1, t, *cfg.data.crop_size, 3), jnp.float32)
+    params, batch_stats = load_state(cfg, model, args.checkpoint, sample, finetune, store)
+
+    evaluator = ClipEvaluator(model, params, batch_stats,
+                              cfg.model.head.num_classes, cluster_store=store)
+    save_dir = args.show_dir if args.format_only else None
+    metrics = evaluator.run(
+        iterate_eval(dataset, num_workers=cfg.data.num_workers),
+        dataset=dataset, keep_for_vc=args.vc, save_dir=save_dir,
+    )
+    summary = {k: v for k, v in metrics.items() if np.isscalar(v) or isinstance(v, float)}
+    logger.info(f"metrics: {summary}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({k: float(v) for k, v in summary.items()}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Train a CFFM/CFFM++ segmentor on a TPU mesh.
+
+The explicit training loop replacing the mmcv IterBasedRunner + hook stack
+(reference ``tools/train.py`` + ``mmseg/apis/train.py``): data-parallel over
+every visible device via one jitted train step, TextLogger-style cadence,
+checkpoints every N iters, resume/load-from.
+
+Usage::
+
+    python tools/train.py configs/cffm_b1_vspw_160k.py \
+        [--work-dir DIR] [--load-from CKPT] [--resume-from CKPT] \
+        [--options data.batch_size=8 optim.lr=6e-5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vss_cffm_tpu.config import apply_overrides, load_config
+from vss_cffm_tpu.data import TrainLoader, VSPWVideoDataset
+from vss_cffm_tpu.data.palette import VSPW_CLASSES, VSPW_PALETTE
+from vss_cffm_tpu.eval import ClusterStore
+from vss_cffm_tpu.models import CFFMSegmentor
+from vss_cffm_tpu.parallel import create_mesh, replicate, shard_batch
+from vss_cffm_tpu.train import (
+    CheckpointManager,
+    TrainState,
+    build_optimizer,
+    make_train_step,
+    poly_schedule,
+)
+from vss_cffm_tpu.utils import get_logger
+
+
+def count_params(tree) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--work-dir")
+    ap.add_argument("--load-from")
+    ap.add_argument("--resume-from")
+    ap.add_argument("--seed", type=int)
+    ap.add_argument("--options", nargs="*", default=[])
+    args = ap.parse_args()
+
+    cfg = apply_overrides(load_config(args.config), args.options)
+    work_dir = args.work_dir or cfg.work_dir
+    logger = get_logger(work_dir)
+    logger.info(f"devices: {jax.devices()}")
+    logger.info(f"config: {cfg}")
+
+    seed = args.seed if args.seed is not None else cfg.seed
+    mesh = create_mesh()
+
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    model = CFFMSegmentor(cfg.model, dtype=dtype)
+    finetune = cfg.model.head.mode == "finetune"
+
+    dataset = VSPWVideoDataset(
+        cfg.data.data_root, "train", dilation=cfg.data.dilation,
+        crop_size=cfg.data.crop_size, img_scale=cfg.data.img_scale,
+    )
+    loader = TrainLoader(dataset, cfg.data.batch_size, seed=seed,
+                         num_workers=cfg.data.num_workers)
+    store = ClusterStore(cfg.cluster_dir) if finetune else None
+
+    # ---- init -------------------------------------------------------------
+    t, (h, w) = len(cfg.data.dilation) + 1, cfg.data.crop_size
+    sample = jnp.zeros((1, t, h, w, 3), jnp.float32)
+    init_kwargs = {}
+    if finetune:
+        init_kwargs["cluster_centers"] = jnp.zeros((1, store.n_clusters, cfg.model.head.embed_dim))
+    variables = jax.jit(model.init, static_argnums=())(jax.random.PRNGKey(seed), sample,
+                                                       **init_kwargs)
+    logger.info(
+        f"params: total {count_params(variables['params']):,} | "
+        f"backbone {count_params(variables['params']['backbone']):,} | "
+        f"head {count_params(variables['params']['decode_head']):,}"
+    )
+
+    tx = build_optimizer(variables["params"], cfg.optim)
+    state = TrainState.create(variables, tx)
+
+    ckpt = CheckpointManager(os.path.join(work_dir, "ckpt"))
+    if args.resume_from or cfg.resume_from:
+        mgr = CheckpointManager(args.resume_from or cfg.resume_from)
+        state = mgr.restore(state)
+        logger.info(f"resumed from step {int(state.step)}")
+    elif args.load_from or cfg.load_from:
+        mgr = CheckpointManager(args.load_from or cfg.load_from)
+        params, batch_stats = mgr.load_params(state)
+        state = state.replace(params=params, batch_stats=batch_stats)
+        logger.info("warm-started params from checkpoint")
+
+    state = replicate(state, mesh)
+    step_fn = make_train_step(model, tx)
+    schedule = poly_schedule(cfg.optim)
+    base_rng = jax.random.PRNGKey(seed + 1)
+
+    # ---- loop -------------------------------------------------------------
+    start = int(state.step)
+    t0 = time.time()
+    window_losses = []
+    for it, batch in zip(range(start, cfg.optim.max_iters), loader):
+        device_batch = {
+            "imgs": batch["imgs"],
+            "labels": batch["labels"],
+        }
+        if finetune:
+            device_batch["cluster_centers"] = store.batch(batch["videos"])
+        device_batch = shard_batch(device_batch, mesh)
+        state, metrics = step_fn(state, device_batch, jax.random.fold_in(base_rng, it))
+        window_losses.append(metrics)
+
+        if (it + 1) % cfg.log_interval == 0:
+            loss = float(np.mean([float(m["loss_seg"]) for m in window_losses]))
+            acc = float(np.mean([float(m["acc_seg"]) for m in window_losses]))
+            dt = (time.time() - t0) / len(window_losses)
+            logger.info(
+                f"iter [{it + 1}/{cfg.optim.max_iters}] lr {float(schedule(it)):.3e} "
+                f"loss {loss:.4f} acc_seg {acc:.2f} time {dt:.3f}s/iter "
+                f"({cfg.data.batch_size * (len(cfg.data.dilation) + 1) / dt:.1f} frames/s)"
+            )
+            window_losses, t0 = [], time.time()
+
+        if (it + 1) % cfg.checkpoint_interval == 0 or (it + 1) == cfg.optim.max_iters:
+            ckpt.save(
+                jax.device_get(state),
+                metadata={
+                    "classes": list(VSPW_CLASSES),
+                    "palette": [list(p) for p in VSPW_PALETTE],
+                    "config": cfg,
+                },
+            )
+            logger.info(f"saved checkpoint at iter {it + 1}")
+
+
+if __name__ == "__main__":
+    main()

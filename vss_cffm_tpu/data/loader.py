@@ -88,6 +88,7 @@ class TrainLoader:
                         batch = {
                             "imgs": np.stack([b["imgs"] for b in batch_items]),
                             "labels": np.stack([b["labels"] for b in batch_items]),
+                            "videos": [b["video"] for b in batch_items],
                         }
                         out_q.put(batch)
                 except Exception as e:  # surface worker errors to the consumer

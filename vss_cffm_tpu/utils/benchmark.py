@@ -1,0 +1,48 @@
+"""Device-honest benchmark timing.
+
+``block_until_ready`` through remote-TPU tunnels (and some PJRT plugins) can
+acknowledge before execution completes, wildly over-reporting throughput.
+``time_fn_chunked`` chains N executions inside one jit via ``lax.scan`` with
+a data dependency between iterations and forces a scalar device→host fetch,
+so the wall time brackets real device work (one tunnel roundtrip amortised
+over N iterations).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["time_apply_chunked"]
+
+
+def time_apply_chunked(
+    apply_fn: Callable,  # (carry_input) -> output array
+    example_input: jnp.ndarray,
+    iters: int = 100,
+    warmup: int = 5,
+    chunk: int = 10,
+) -> float:
+    """Seconds per single ``apply_fn`` execution."""
+
+    @jax.jit
+    def run_chunk(x):
+        def body(carry, _):
+            out = apply_fn(carry)
+            nxt = carry + jnp.mean(out).astype(carry.dtype) * 1e-20
+            return nxt, ()
+
+        final, _ = jax.lax.scan(body, x, None, length=chunk)
+        return jnp.sum(jax.tree.leaves(final)[0].reshape(-1)[0])
+
+    float(run_chunk(example_input))
+    for _ in range(warmup):
+        float(run_chunk(example_input))
+    n_chunks = max(iters // chunk, 1)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        float(run_chunk(example_input))
+    return (time.perf_counter() - t0) / (n_chunks * chunk)
