@@ -35,31 +35,16 @@ def main():
     imgs = jnp.asarray(np.random.RandomState(0).randn(1, 4, *shape, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
 
-    # Chain `chunk` forwards inside one jit (scan) with a data dependency
-    # between iterations and a scalar readback at the end: block_until_ready
-    # through remote-TPU tunnels can return before execution finishes, so
-    # per-call host timing under-reports. The scalar fetch forces completion.
-    chunk = 10
+    # Chained scan timing with tunnel-roundtrip calibration: block_until_ready
+    # through remote-TPU tunnels returns before execution finishes, and each
+    # host→device dispatch costs ~26 ms — both are handled by
+    # time_apply_chunked (see vss_cffm_tpu/utils/benchmark.py).
+    from vss_cffm_tpu.utils.benchmark import time_apply_chunked
 
-    @jax.jit
-    def forward_chunk(v, x):
-        def body(carry, _):
-            out = model.apply(v, carry, False)
-            # fold the output back into the input so iterations can't be
-            # collapsed/elided by the compiler (1e-20 keeps numerics intact)
-            nxt = carry + jnp.mean(out).astype(carry.dtype) * 1e-20
-            return nxt, ()
-        final, _ = jax.lax.scan(body, x, None, length=chunk)
-        return jnp.sum(final[0, 0, 0, 0])
-
-    float(forward_chunk(variables, imgs))  # compile + warm
-    for _ in range(warmup):
-        float(forward_chunk(variables, imgs))
-    n_chunks = max(iters // chunk, 1)
-    t0 = time.perf_counter()
-    for _ in range(n_chunks):
-        float(forward_chunk(variables, imgs))
-    dt = (time.perf_counter() - t0) / (n_chunks * chunk)
+    dt = time_apply_chunked(
+        lambda x: model.apply(variables, x, False), imgs, iters=iters, warmup=warmup,
+        chunk=min(50, max(iters, 1)),
+    )
     fps = 1.0 / dt
 
     print(json.dumps({

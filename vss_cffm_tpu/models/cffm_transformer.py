@@ -180,6 +180,9 @@ class _PooledLevel:
     unfold_mask: np.ndarray   # (nW, n_entries) additive 0/−100
     bias_index: np.ndarray    # (49, n_entries) gather into the level's bias table
     bias_table_size: int
+    kernel: int               # unfold kernel size
+    stride: int               # unfold stride
+    valid_keep: int = 0       # drop entries with di or dj < valid_keep
 
 
 @dataclasses.dataclass(frozen=True)
@@ -254,6 +257,9 @@ def build_geometry(
                 unfold_mask=mask,
                 bias_index=bias_index,
                 bias_table_size=(ws + kk - 1) ** 2,
+                kernel=kernel,
+                stride=stride,
+                valid_keep=2**k - 1,
             )
         )
 
@@ -279,6 +285,8 @@ def build_geometry(
                 unfold_mask=mask,
                 bias_index=bias_index,
                 bias_table_size=(ws + kernel - 1) ** 2,
+                kernel=kernel,
+                stride=fl,
             )
         )
 
@@ -305,6 +313,59 @@ def build_geometry(
 def _gather_windows(flat: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
     """flat (B, P, C), idx (nW, n) -> (B, nW, n, C)."""
     return flat[:, jnp.asarray(idx.reshape(-1))].reshape(flat.shape[0], *idx.shape, flat.shape[-1])
+
+
+def _partition_windows(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, Hp, Wp, C) -> (B, nW, ws*ws, C) via reshape/transpose (free on TPU
+    relative to a general row gather)."""
+    b, hp, wp, c = x.shape
+    x = x.reshape(b, hp // ws, ws, wp // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (hp // ws) * (wp // ws), ws * ws, c)
+
+
+def _rolled_valid_subset(ws: int, expand: int) -> np.ndarray:
+    """Constant indices into the concatenated 4×ws² rolled-window axis,
+    matching the reference's ``valid_ind_rolled`` order (tl, tr, bl, br)."""
+    e = expand
+    out = []
+    for r, name in enumerate(("tl", "tr", "bl", "br")):
+        m = np.ones((ws, ws), bool)
+        if name == "tl":
+            m[:-e, :-e] = False
+        elif name == "tr":
+            m[:-e, e:] = False
+        elif name == "bl":
+            m[e:, :-e] = False
+        else:
+            m[e:, e:] = False
+        out.append(r * ws * ws + np.nonzero(m.reshape(-1))[0])
+    return np.concatenate(out)
+
+
+def _unfold_patches(x: jnp.ndarray, kernel: int, stride: int, pad: int,
+                    valid_keep: int = 0) -> jnp.ndarray:
+    """nn.Unfold ≙ im2col via ``conv_general_dilated_patches`` (lowers to a
+    native TPU patch-extraction, not a serialized gather).
+
+    x (B, H, W, C) -> (B, nOut, n_entries, C) with entries in (di, dj)
+    row-major order, matching ``_unfold_index`` and the reference's
+    ``nn.Unfold`` layout.
+    """
+    b, _, _, c = x.shape
+    patches = jax.lax.conv_general_dilated_patches(
+        x,
+        filter_shape=(kernel, kernel),
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, oh, ow, C*k*k), feature index = c*k*k + di*k + dj
+    oh, ow = patches.shape[1:3]
+    patches = patches.reshape(b, oh * ow, c, kernel * kernel).transpose(0, 1, 3, 2)
+    if valid_keep > 0:
+        di = np.arange(kernel)
+        keep = (di[:, None] >= valid_keep) & (di[None, :] >= valid_keep)
+        patches = patches[:, :, jnp.asarray(np.nonzero(keep.reshape(-1))[0])]
+    return patches
 
 
 class _FcPool(nn.Module):
@@ -365,13 +426,29 @@ class CFFMWindowAttention(nn.Module):
             return y
 
         # --- target frame: q, k, v at full resolution -----------------------
-        flat = x_target.reshape(b, geom.hp * geom.wp, c)
-        qkv_t = qkv(flat)  # (B, P, 3C)
-        q_flat, k_flat, v_flat = jnp.split(qkv_t, 3, axis=-1)
+        # All K/V assembly uses structured ops (reshape window partition,
+        # jnp.roll, native patch extraction) instead of general row gathers —
+        # the latter serialize badly on TPU and dominated decoder time.
+        qkv_t = qkv(x_target)  # (B, Hp, Wp, 3C)
+        q_map, k_map, v_map = jnp.split(qkv_t, 3, axis=-1)
 
-        q_win = _gather_windows(q_flat, geom.win_idx)  # (B, nW, 49, C)
-        k_parts = [_gather_windows(k_flat, geom.win_idx), _gather_windows(k_flat, geom.rolled_idx)]
-        v_parts = [_gather_windows(v_flat, geom.win_idx), _gather_windows(v_flat, geom.rolled_idx)]
+        q_win = _partition_windows(q_map, ws)  # (B, nW, 49, C)
+        valid_rolled = jnp.asarray(_rolled_valid_subset(ws, cfg.expand_size))
+
+        def rolled(mp):
+            # the four diagonal circular rolls of the reference (tl,tr,bl,br)
+            e = cfg.expand_size
+            rolls = [
+                _partition_windows(jnp.roll(mp, (-e, -e), axis=(1, 2)), ws),
+                _partition_windows(jnp.roll(mp, (-e, e), axis=(1, 2)), ws),
+                _partition_windows(jnp.roll(mp, (e, -e), axis=(1, 2)), ws),
+                _partition_windows(jnp.roll(mp, (e, e), axis=(1, 2)), ws),
+            ]
+            cat = jnp.concatenate(rolls, axis=2)  # (B, nW, 4*49, C)
+            return cat[:, :, valid_rolled]
+
+        k_parts = [_partition_windows(k_map, ws), rolled(k_map)]
+        v_parts = [_partition_windows(v_map, ws), rolled(v_map)]
         mask_parts = [
             np.zeros(geom.win_idx.shape, np.float32),
             np.zeros(geom.rolled_idx.shape, np.float32),
@@ -381,11 +458,11 @@ class CFFMWindowAttention(nn.Module):
         for pooled, level in list(zip(pooled_target, geom.target_levels)) + list(
             zip(pooled_clips, geom.clip_levels)
         ):
-            ph, pw = level.pooled_hw
-            kv_p = qkv(pooled.reshape(b, ph * pw, c), slice_="kv")  # (B, P', 2C)
+            kv_p = qkv(pooled, slice_="kv")  # (B, ph, pw, 2C)
             k_p, v_p = jnp.split(kv_p, 2, axis=-1)
-            k_parts.append(_gather_windows(k_p, level.unfold_idx))
-            v_parts.append(_gather_windows(v_p, level.unfold_idx))
+            pad = level.kernel // 2 if level.stride <= ws else 0
+            k_parts.append(_unfold_patches(k_p, level.kernel, level.stride, pad, level.valid_keep))
+            v_parts.append(_unfold_patches(v_p, level.kernel, level.stride, pad, level.valid_keep))
             mask_parts.append(level.unfold_mask)
 
         k_all = jnp.concatenate(k_parts, axis=2)  # (B, nW, N, C)

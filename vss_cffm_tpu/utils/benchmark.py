@@ -19,14 +19,32 @@ import jax.numpy as jnp
 __all__ = ["time_apply_chunked"]
 
 
+def measure_roundtrip(samples: int = 20) -> float:
+    """Fixed host↔device dispatch+fetch latency of a trivial jitted call."""
+    x = jnp.ones((1,), jnp.float32)
+    f = jax.jit(lambda a: a + 1)
+    float(f(x)[0])
+    t0 = time.perf_counter()
+    for _ in range(samples):
+        float(f(x)[0])
+    return (time.perf_counter() - t0) / samples
+
+
 def time_apply_chunked(
     apply_fn: Callable,  # (carry_input) -> output array
     example_input: jnp.ndarray,
     iters: int = 100,
-    warmup: int = 5,
-    chunk: int = 10,
+    warmup: int = 2,
+    chunk: int = 50,
+    subtract_roundtrip: bool = True,
 ) -> float:
-    """Seconds per single ``apply_fn`` execution."""
+    """Seconds of *device time* per single ``apply_fn`` execution.
+
+    The measured per-chunk wall time includes one host↔device roundtrip
+    (26 ms through the axon tunnel on this setup — larger than a whole
+    forward pass); it is calibrated via ``measure_roundtrip`` and removed so
+    the number reflects on-chip throughput.
+    """
 
     @jax.jit
     def run_chunk(x):
@@ -45,4 +63,7 @@ def time_apply_chunked(
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         float(run_chunk(example_input))
-    return (time.perf_counter() - t0) / (n_chunks * chunk)
+    per_chunk = (time.perf_counter() - t0) / n_chunks
+    if subtract_roundtrip:
+        per_chunk -= measure_roundtrip()
+    return max(per_chunk, 1e-9) / chunk
