@@ -7,7 +7,13 @@ import jax.numpy as jnp
 import torch
 import torch.nn.functional as F
 
-from vss_cffm_tpu.models.losses import accuracy, clip_ce_loss, cross_entropy, ohem_weight
+from vss_cffm_tpu.models.losses import (
+    accuracy,
+    clip_ce_loss,
+    cross_entropy,
+    lovasz_softmax,
+    ohem_weight,
+)
 
 
 def test_cross_entropy_matches_torch(rng):
@@ -60,6 +66,41 @@ def test_clip_loss_other_cases_run(rng, tp_case):
     labels = rng.randint(0, c, (b, t, h, w))
     out = clip_ce_loss(jnp.asarray(logits), jnp.asarray(labels))
     assert np.isfinite(float(out["loss_seg"]))
+
+
+def _torch_lovasz_softmax(probs, labels, ignore=255):
+    """Reference-faithful Lovász-Softmax (Berman et al.) with boolean
+    filtering of ignored pixels — the semantics our static-shape version
+    must reproduce."""
+    valid = labels != ignore
+    probs = probs[valid]
+    labels = labels[valid]
+    C = probs.shape[1]
+    losses, present = [], []
+    for c in range(C):
+        fg = (labels == c).float()
+        if fg.sum() == 0:
+            continue
+        errors = (fg - probs[:, c]).abs()
+        errors_sorted, perm = torch.sort(errors, 0, descending=True)
+        fg_sorted = fg[perm]
+        gts = fg_sorted.sum()
+        inter = gts - fg_sorted.cumsum(0)
+        union = gts + (1 - fg_sorted).cumsum(0)
+        jaccard = 1.0 - inter / union
+        jaccard[1:] = jaccard[1:] - jaccard[:-1]
+        losses.append(torch.dot(errors_sorted, jaccard))
+    return torch.stack(losses).mean()
+
+
+def test_lovasz_softmax_matches_torch(rng):
+    logits = rng.randn(1, 12, 12, 4).astype(np.float32)
+    labels = rng.randint(0, 4, (1, 12, 12))
+    labels[0, :3] = 255
+    got = float(lovasz_softmax(jnp.asarray(logits), jnp.asarray(labels)))
+    probs = torch.from_numpy(logits).reshape(-1, 4).softmax(-1)
+    want = _torch_lovasz_softmax(probs, torch.from_numpy(labels).reshape(-1)).item()
+    assert got == pytest.approx(want, rel=1e-4)
 
 
 def test_ohem_weight_keeps_hard_pixels(rng):

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..ops.resize import resize_bilinear
 
-__all__ = ["cross_entropy", "accuracy", "clip_ce_loss", "ohem_weight"]
+__all__ = ["cross_entropy", "accuracy", "clip_ce_loss", "ohem_weight", "lovasz_softmax"]
 
 
 def cross_entropy(
@@ -80,6 +80,50 @@ def ohem_weight(
     k = jnp.minimum(min_kept, flat.shape[0]) - 1
     eff_thresh = jnp.maximum(flat[k], thresh)
     return (valid & (gt_prob < eff_thresh)).astype(jnp.float32)
+
+
+def lovasz_softmax(
+    logits: jnp.ndarray,  # (..., H, W, C)
+    labels: jnp.ndarray,  # (..., H, W)
+    ignore_index: int = 255,
+    classes: str = "present",
+) -> jnp.ndarray:
+    """Multi-class Lovász-Softmax loss (reference ``lovasz_loss.py:225``).
+
+    TPU-native reformulation: instead of boolean-filtering ignored pixels
+    (dynamic shapes), ignored pixels get zero error and are sorted to the
+    end; the Lovász gradient is computed on the masked cumulative sums. Mean
+    over classes present in the ground truth when ``classes='present'``.
+    """
+    c = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).reshape(-1, c)
+    flat_labels = labels.reshape(-1)
+    valid = flat_labels != ignore_index
+    safe = jnp.where(valid, flat_labels, 0)
+    n_valid = jnp.sum(valid)
+
+    def one_class(cls):
+        fg = ((safe == cls) & valid).astype(jnp.float32)
+        errors = jnp.abs(fg - probs[:, cls])
+        errors = jnp.where(valid, errors, -1.0)  # ignored sort last
+        order = jnp.argsort(-errors)
+        errors_sorted = errors[order]
+        fg_sorted = fg[order]
+        valid_sorted = errors_sorted >= 0.0
+        gts = jnp.sum(fg_sorted)
+        inter = gts - jnp.cumsum(fg_sorted)
+        union = gts + jnp.cumsum((1.0 - fg_sorted) * valid_sorted)
+        jaccard = 1.0 - inter / jnp.maximum(union, 1e-12)
+        grad = jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+        loss_c = jnp.sum(jnp.maximum(errors_sorted, 0.0) * grad * valid_sorted)
+        present = gts > 0
+        return loss_c, present
+
+    losses, present = jax.vmap(one_class)(jnp.arange(c))
+    if classes == "present":
+        denom = jnp.maximum(jnp.sum(present), 1)
+        return jnp.sum(jnp.where(present, losses, 0.0)) / denom
+    return jnp.mean(losses)
 
 
 def _flatten_frames(x: jnp.ndarray) -> jnp.ndarray:
