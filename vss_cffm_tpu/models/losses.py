@@ -24,7 +24,14 @@ import jax.numpy as jnp
 
 from ..ops.resize import resize_bilinear
 
-__all__ = ["cross_entropy", "accuracy", "clip_ce_loss", "ohem_weight", "lovasz_softmax"]
+__all__ = [
+    "cross_entropy",
+    "accuracy",
+    "clip_ce_loss",
+    "clip_ce_loss_city",
+    "ohem_weight",
+    "lovasz_softmax",
+]
 
 
 def cross_entropy(
@@ -134,6 +141,8 @@ def clip_ce_loss(
     seg_logits: jnp.ndarray,  # (B, T', h, w, C)
     seg_labels: jnp.ndarray,  # (B, T, H, W) int32
     ignore_index: int = 255,
+    use_ohem: bool = False,
+    ohem_cfg: dict | None = None,
 ) -> dict[str, jnp.ndarray]:
     """The clip loss case table of ``BaseDecodeHead_clips_flow.losses``."""
     tp = seg_logits.shape[1]
@@ -162,10 +171,34 @@ def clip_ce_loss(
     label_ori = _flatten_frames(label_ori)
     label_last = _flatten_frames(label_last)
 
-    loss = 0.5 * cross_entropy(logit_ori, label_ori, ignore_index) + cross_entropy(
-        logit_last, label_last, ignore_index
-    )
+    weight_ori = weight_last = None
+    if use_ohem:
+        weight_ori = ohem_weight(logit_ori, label_ori, ignore_index, **(ohem_cfg or {}))
+        weight_last = ohem_weight(logit_last, label_last, ignore_index, **(ohem_cfg or {}))
+    loss = 0.5 * cross_entropy(
+        logit_ori, label_ori, ignore_index, pixel_weight=weight_ori
+    ) + cross_entropy(logit_last, label_last, ignore_index, pixel_weight=weight_last)
     return {
         "loss_seg": loss,
         "acc_seg": accuracy(logit_ori, label_ori),
     }
+
+
+def clip_ce_loss_city(
+    seg_logits: jnp.ndarray,  # (B, T+1, h, w, C)
+    seg_labels: jnp.ndarray,  # (B, T, H, W)
+    ignore_index: int = 255,
+) -> dict[str, jnp.ndarray]:
+    """``BaseDecodeHead_clips_flow_city.losses`` (reference
+    ``decode_head.py:1041-1136``): only the last frame is supervised —
+    0.5·CE(last per-frame logits) + CE(refined logits), both vs the last
+    frame's label."""
+    assert seg_logits.shape[1] == seg_labels.shape[1] + 1
+    size = seg_labels.shape[2:4]
+    logit_ori = resize_bilinear(seg_logits[:, -2], size)
+    logit_last = resize_bilinear(seg_logits[:, -1], size)
+    label = seg_labels[:, -1]
+    loss = 0.5 * cross_entropy(logit_ori, label, ignore_index) + cross_entropy(
+        logit_last, label, ignore_index
+    )
+    return {"loss_seg": loss, "acc_seg": accuracy(logit_ori, label)}
