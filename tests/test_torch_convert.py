@@ -33,12 +33,15 @@ def _synthetic_torch_sd(params, batch_stats, rng):
         # random values in flax layout, transposed into torch layout
         arr = rng.randn(*np.asarray(leaf).shape).astype(np.float32)
         sd[_torch_key(keys)] = _flax_to_torch_shape(name, arr)
+    # merged fuse kernel maps back to a (f, 4f, 1, 1) torch conv weight
+    fw = sd["decode_head.linear_fuse.conv.weight"]
+    sd["decode_head.linear_fuse.conv.weight"] = fw[:, :, None, None]
     # BN running stats
     sd["decode_head.linear_fuse.bn.running_mean"] = rng.randn(
-        *np.asarray(batch_stats["decode_head"]["decode"]["linear_fuse"]["bn"]["mean"]).shape
+        *np.asarray(batch_stats["decode_head"]["decode"]["bn"]["mean"]).shape
     ).astype(np.float32)
     sd["decode_head.linear_fuse.bn.running_var"] = np.abs(rng.randn(
-        *np.asarray(batch_stats["decode_head"]["decode"]["linear_fuse"]["bn"]["var"]).shape
+        *np.asarray(batch_stats["decode_head"]["decode"]["bn"]["var"]).shape
     )).astype(np.float32)
     return sd
 
@@ -62,7 +65,11 @@ def _torch_key(keys):
     if scope == "decode_head":
         rest = k[1:]
         if rest[0] == "decode":
-            rest = rest[1:]  # linear_cX/proj or linear_fuse/{conv,bn}
+            rest = rest[1:]  # linear_cX/proj, fuse_kernel, or bn
+            if rest[0] == "fuse_kernel":
+                return "decode_head.linear_fuse.conv.weight"
+            if rest[0] == "bn":
+                return f"decode_head.linear_fuse.bn.{_wname(rest[-1])}"
             return "decode_head." + ".".join(rest[:-1]) + "." + _wname(rest[-1])
         if rest[0].startswith("linear_pred"):
             return f"decode_head.{rest[0]}.{_wname(rest[-1])}"

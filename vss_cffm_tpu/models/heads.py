@@ -74,6 +74,28 @@ class ConvBNReLU(nn.Module):
         return nn.relu(x)
 
 
+class _Proj(nn.Module):
+    """Linear projection with an optional *merged* second matmul.
+
+    With ``post`` (f, f'): computes ``x @ (K @ post) + b @ post`` — the
+    algebraic merge of this embedding with its slice of the downstream 1×1
+    fuse conv (see ``_PerFrameDecoder``).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, post: jnp.ndarray | None = None) -> jnp.ndarray:
+        k = self.param("kernel", _dense_init, (x.shape[-1], self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = k.astype(self.dtype)
+        b = b.astype(self.dtype)
+        if post is not None:
+            return x.astype(self.dtype) @ (k @ post) + b @ post
+        return x.astype(self.dtype) @ k + b
+
+
 class MLPEmbed(nn.Module):
     """Per-level linear embedding (reference ``cffm_head.py:26-37``)."""
 
@@ -81,12 +103,29 @@ class MLPEmbed(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Dense(self.embed_dim, kernel_init=_dense_init, dtype=self.dtype, name="proj")(x)
+    def __call__(self, x: jnp.ndarray, post: jnp.ndarray | None = None) -> jnp.ndarray:
+        return _Proj(self.embed_dim, self.dtype, name="proj")(x, post)
 
 
 class _PerFrameDecoder(nn.Module):
-    """Shared SegFormer MLP decode: project 4 levels, upsample to 1/4, fuse."""
+    """Shared SegFormer MLP decode: project 4 levels, upsample to 1/4, fuse.
+
+    TPU restructuring of the reference computation
+    ``ConvModule(cat([resize(MLP(c4)), resize(MLP(c3)), resize(MLP(c2)),
+    MLP(c1)]))`` (``cffm_head.py:105-119``): both the per-level embedding and
+    the 1×1 fuse conv are linear over channels and commute with the (spatial,
+    linear) bilinear resize, so
+
+        Conv1x1(cat_i(resize_i(x_i @ A_i + b_i))) =
+            Σ_i resize_i(x_i @ (A_i F_i) + b_i F_i)
+
+    where ``F_i`` is the fuse kernel's slice for level i. The merged form
+    runs each level's matmul at its *low* resolution, eliminating both the
+    4×embed-dim concat tensor (118 MB at 480², the largest intermediate in
+    the model) and the 30-GFLOP full-width fuse conv. Exact in f32; in bf16
+    it differs only by matmul rounding. BN + ReLU follow as in the
+    reference's ConvModule (SyncBN ≡ global-batch BN under the mesh).
+    """
 
     embed_dim: int
     dtype: Any = jnp.float32
@@ -95,12 +134,26 @@ class _PerFrameDecoder(nn.Module):
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False) -> jnp.ndarray:
         c1, c2, c3, c4 = feats
         size = c1.shape[1:3]
-        _c4 = resize_bilinear(MLPEmbed(self.embed_dim, self.dtype, name="linear_c4")(c4), size)
-        _c3 = resize_bilinear(MLPEmbed(self.embed_dim, self.dtype, name="linear_c3")(c3), size)
-        _c2 = resize_bilinear(MLPEmbed(self.embed_dim, self.dtype, name="linear_c2")(c2), size)
-        _c1 = MLPEmbed(self.embed_dim, self.dtype, name="linear_c1")(c1)
-        _c = jnp.concatenate([_c4, _c3, _c2, _c1], axis=-1)
-        return ConvBNReLU(self.embed_dim, self.dtype, name="linear_fuse")(_c, train)
+        f = self.embed_dim
+        # fuse kernel rows ordered [c4, c3, c2, c1] (the reference concat order)
+        fuse_kernel = self.param(
+            "fuse_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_out", "truncated_normal"),
+            (4 * f, f),
+        ).astype(self.dtype)
+        acc = None
+        for i, (x, name) in enumerate(
+            [(c4, "linear_c4"), (c3, "linear_c3"), (c2, "linear_c2"), (c1, "linear_c1")]
+        ):
+            y = MLPEmbed(f, self.dtype, name=name)(x, fuse_kernel[i * f : (i + 1) * f])
+            if y.shape[1:3] != tuple(size):
+                y = resize_bilinear(y, size)
+            acc = y if acc is None else acc + y
+        _c = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn",
+        )(acc)
+        return nn.relu(_c)
 
 
 class _Dropout2d(nn.Module):

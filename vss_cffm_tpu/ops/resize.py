@@ -63,21 +63,30 @@ def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool
     """Bilinearly resize ``x`` of shape (..., H, W, C) to (..., H', W', C).
 
     Matmul-based: ``out = Wh @ x @ Ww^T`` along the two spatial axes.
-    Accumulation runs in f32 regardless of input dtype; the result is cast
-    back to ``x.dtype``.
+
+    Precision policy: f32 inputs interpolate with f32-highest matmuls (exact
+    torch parity — used on logits for loss/eval); bf16 inputs stay bf16 with
+    bf16 weights — the interpolation weights have ≤2 nonzeros per row so the
+    rounding impact is one bf16 multiply-add, while the MXU runs at full
+    rate (f32-highest was ~50µs per head upsample; bf16 is ~free).
     """
     h_out, w_out = int(out_hw[0]), int(out_hw[1])
     h_in, w_in = x.shape[-3], x.shape[-2]
     if (h_in, w_in) == (h_out, w_out):
         return x
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    fast = dtype == jnp.bfloat16
+    precision = None if fast else "highest"
+    xf = x if fast else x.astype(jnp.float32)
+
+    def weights(size_in, size_out):
+        w = jnp.asarray(_bilinear_weight_matrix_np(size_in, size_out, align_corners))
+        return w.astype(dtype) if fast else w
+
     if h_in != h_out:
-        wh = jnp.asarray(_bilinear_weight_matrix_np(h_in, h_out, align_corners))
-        xf = jnp.einsum("oh,...hwc->...owc", wh, xf, precision="highest")
+        xf = jnp.einsum("oh,...hwc->...owc", weights(h_in, h_out), xf, precision=precision)
     if w_in != w_out:
-        ww = jnp.asarray(_bilinear_weight_matrix_np(w_in, w_out, align_corners))
-        xf = jnp.einsum("ow,...hwc->...hoc", ww, xf, precision="highest")
+        xf = jnp.einsum("ow,...hwc->...hoc", weights(w_in, w_out), xf, precision=precision)
     return xf.astype(dtype)
 
 

@@ -162,8 +162,9 @@ def convert_segmentor(sd: Mapping[str, np.ndarray], config) -> dict:
                 f"linear_c{i}": {"proj": _linear(sd, f"{h}.linear_c{i}.proj")}
                 for i in (1, 2, 3, 4)
             },
-            "linear_fuse": {"conv": _conv(sd, f"{h}.linear_fuse.conv"),
-                            "bn": _norm(sd, f"{h}.linear_fuse.bn")},
+            # torch conv (f, 4f, 1, 1) → merged fuse matmul kernel (4f, f)
+            "fuse_kernel": sd[f"{h}.linear_fuse.conv.weight"][:, :, 0, 0].T.copy(),
+            "bn": _norm(sd, f"{h}.linear_fuse.bn"),
         },
         "linear_pred": _conv(sd, f"{h}.linear_pred"),
         "linear_pred2": _conv(sd, f"{h}.linear_pred2"),
@@ -193,11 +194,9 @@ def convert_segmentor(sd: Mapping[str, np.ndarray], config) -> dict:
     batch_stats = {
         "decode_head": {
             "decode": {
-                "linear_fuse": {
-                    "bn": {
-                        "mean": sd[f"{h}.linear_fuse.bn.running_mean"].copy(),
-                        "var": sd[f"{h}.linear_fuse.bn.running_var"].copy(),
-                    }
+                "bn": {
+                    "mean": sd[f"{h}.linear_fuse.bn.running_mean"].copy(),
+                    "var": sd[f"{h}.linear_fuse.bn.running_var"].copy(),
                 }
             }
         }
