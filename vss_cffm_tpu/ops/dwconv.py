@@ -1,0 +1,157 @@
+"""Fused 3×3 depthwise conv (+bias, +exact GELU) — Pallas TPU kernel.
+
+The MixFFN's depthwise conv (reference ``mix_transformer.py:358-369``) is the
+single most expensive op family in the backbone under XLA (~1.2 ms of a
+~5.5 ms CFFM-B1 forward): XLA emits it as a VPU fusion with poor locality
+and runs the following GELU as a separate HBM pass. This kernel tiles rows
+into VMEM, computes the 9 shifted fused multiply-adds in f32, and applies
+bias + exact (erf) GELU in-register — one HBM read and one write total.
+
+API: ``dwconv3x3(x, kernel, bias, gelu=...)`` with x (B, H, W, C) NHWC and
+kernel (3, 3, 1, C) (flax depthwise layout). Falls back to
+``lax.conv_general_dilated`` off-TPU (CPU tests, interpret).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["dwconv3x3"]
+
+
+def _largest_divisor(n: int, cap: int) -> int:
+    for d in range(min(n, cap), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def _erf(x):
+    """Abramowitz–Stegun 7.1.26 rational erf (max err 1.5e-7 — exact at bf16;
+    Mosaic has no native erf/erfc lowering)."""
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _kernel(x_hbm, w_ref, b_ref, o_ref, slab, sem, *, th: int, w: int, cb: int, gelu: bool):
+    """One program = one (batch, channel-block); double-buffered row tiles.
+
+    Depthwise channels are independent, so channel blocks never need halos;
+    the row halo (±1) is handled by DMAing overlapping (th+2)-row slabs from
+    HBM — BlockSpecs can't express overlapping tiles, manual DMA can.
+    """
+    bi = pl.program_id(0)
+    ci = pl.program_id(1)
+    n_tiles = o_ref.shape[1] // th  # static
+    wk = w_ref[:]  # (3, 3, cb) f32
+    bb = b_ref[0]  # (cb,) f32
+
+    def tile_dma(slot, t):
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(t * th, th + 2), :, pl.ds(ci * cb, cb)],
+            slab.at[slot],
+            sem.at[slot],
+        )
+
+    tile_dma(0, 0).start()
+
+    def body(t, _):
+        slot = t % 2
+        nxt = (t + 1) % 2
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            tile_dma(nxt, t + 1).start()
+
+        tile_dma(slot, t).wait()
+        x = slab[slot]  # (th+2, Wp, cb); Wp 8-aligned, zero side padding
+        wp = x.shape[1]
+        # W shifts as native sublane rolls (wrap-around lands in the zero
+        # padding columns, never read back into cols [0, w)); H shifts as
+        # untiled axis-0 slices — both stay layout-aligned, unlike direct
+        # (dj : dj+w) slicing which forced misaligned retiling.
+        xf = x.astype(jnp.float32)  # Mosaic rotate requires 32-bit data
+        acc = jnp.zeros((th, wp, cb), jnp.float32)
+        for dj in range(3):
+            shifted = xf if dj == 0 else pltpu.roll(xf, wp - dj, 1)
+            for di in range(3):
+                acc = acc + shifted[di : di + th] * wk[di, dj]
+        acc = acc + bb
+        if gelu:
+            acc = _gelu_exact(acc)
+        o_ref[0, pl.ds(t * th, th)] = acc[:, :w].astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("gelu", "interpret"))
+def _dwconv3x3_pallas(x, kernel, bias, gelu: bool = False, interpret: bool = False):
+    b, h, w, c = x.shape
+    cb = _largest_divisor(c, 128) if c >= 128 else c
+    th = _largest_divisor(h, 24)
+    # pad W so the DMA slab's second-to-last dim aligns to the 8-sublane tile
+    wp = -(-(w + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    wk = kernel.reshape(3, 3, -1).astype(jnp.float32)
+    bb = bias.astype(jnp.float32).reshape(1, c)
+    grid = (b, c // cb)
+    return pl.pallas_call(
+        functools.partial(_kernel, th=th, w=w, cb=cb, gelu=gelu),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM; DMA'd per tile
+            pl.BlockSpec((3, 3, cb), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, cb), lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, wp, cb), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, wk, bb)
+
+
+def _dwconv3x3_xla(x, kernel, bias, gelu: bool = False):
+    c = x.shape[-1]
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = out + bias.astype(out.dtype)
+    if gelu:
+        out = jax.nn.gelu(out, approximate=False)
+    return out
+
+
+def dwconv3x3(x, kernel, bias, gelu: bool = False, force: str | None = None):
+    """force: None (auto by backend) | 'pallas' | 'xla' | 'interpret'."""
+    if force == "interpret":
+        return _dwconv3x3_pallas(x, kernel, bias, gelu, interpret=True)
+    if force == "xla":
+        return _dwconv3x3_xla(x, kernel, bias, gelu)
+    platform = jax.devices()[0].platform
+    if force == "pallas" or platform in ("tpu", "axon"):
+        return _dwconv3x3_pallas(x, kernel, bias, gelu)
+    return _dwconv3x3_xla(x, kernel, bias, gelu)
