@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--eval", action="store_true", default=True)
     ap.add_argument("--no-eval", dest="eval", action="store_false")
     ap.add_argument("--vc", action="store_true", help="compute VC8/VC16 inline")
+    ap.add_argument("--streaming", action="store_true",
+                    help="video-sequential eval with per-frame feature cache (~4x faster, "
+                         "identical outputs)")
     ap.add_argument("--format-only", action="store_true")
     ap.add_argument("--show-dir", default="result_submission")
     ap.add_argument("--out", help="dump metrics JSON here")
@@ -74,13 +77,22 @@ def main():
     sample = jnp.zeros((1, t, *cfg.data.crop_size, 3), jnp.float32)
     params, batch_stats = load_state(cfg, model, args.checkpoint, sample, finetune, store)
 
-    evaluator = ClipEvaluator(model, params, batch_stats,
-                              cfg.model.head.num_classes, cluster_store=store)
     save_dir = args.show_dir if args.format_only else None
-    metrics = evaluator.run(
-        iterate_eval(dataset, num_workers=cfg.data.num_workers),
-        dataset=dataset, keep_for_vc=args.vc, save_dir=save_dir,
-    )
+    if args.streaming:
+        from vss_cffm_tpu.eval.evaluator import StreamingVideoEvaluator
+
+        evaluator = StreamingVideoEvaluator(model, params, batch_stats,
+                                            cfg.model.head.num_classes,
+                                            cluster_store=store,
+                                            max_lag=-min(cfg.data.dilation))
+        metrics = evaluator.run_streaming(dataset, keep_for_vc=args.vc, save_dir=save_dir)
+    else:
+        evaluator = ClipEvaluator(model, params, batch_stats,
+                                  cfg.model.head.num_classes, cluster_store=store)
+        metrics = evaluator.run(
+            iterate_eval(dataset, num_workers=cfg.data.num_workers),
+            dataset=dataset, keep_for_vc=args.vc, save_dir=save_dir,
+        )
     summary = {k: v for k, v in metrics.items() if np.isscalar(v) or isinstance(v, float)}
     logger.info(f"metrics: {summary}")
     if args.out:

@@ -33,7 +33,7 @@ from ..data.palette import VSPW_PALETTE
 from ..ops.resize import resize_bilinear
 from .metrics import eval_metrics, fwiou, mean_iou_seen, update_confusion, video_consistency
 
-__all__ = ["ClipEvaluator", "save_pred_png"]
+__all__ = ["ClipEvaluator", "StreamingVideoEvaluator", "save_pred_png"]
 
 
 def save_pred_png(pred: np.ndarray, path: str, palette=VSPW_PALETTE):
@@ -101,6 +101,9 @@ class ClipEvaluator:
                                                  item["frame"].rsplit(".", 1)[0] + ".png"))
         return self.summary(with_vc=keep_for_vc)
 
+    def metrics_tree(self):
+        return self.confusion
+
     def summary(self, with_vc: bool = False) -> dict:
         cm = np.asarray(self.confusion)
         out = eval_metrics(cm)
@@ -116,3 +119,86 @@ class ClipEvaluator:
                     accs.extend(video_consistency(gts, preds, n))
                 out[key] = float(np.nanmean(accs)) if accs else float("nan")
         return out
+
+
+class StreamingVideoEvaluator(ClipEvaluator):
+    """Video-sequential evaluation with a per-frame feature cache.
+
+    The reference protocol evaluates one clip per frame with dilation
+    [-9, -6, -3] (``custom.py:2355-2445``), so each frame passes through the
+    backbone up to 4× as it re-appears in later clips' windows. Streaming a
+    video in order and caching each frame's fused 1/4 features (backbone +
+    per-frame decode — the expensive ~80% of the forward) cuts per-frame
+    device work ~4× at identical outputs. The cache holds only the trailing
+    ``max_lag + 1`` frames (10 for the default dilation).
+
+    Use ``run_streaming(dataset)`` with a test-mode ``VSPWVideoDataset``.
+    """
+
+    def __init__(self, model, params, batch_stats, num_classes: int,
+                 cluster_store=None, max_lag: int = 9):
+        super().__init__(model, params, batch_stats, num_classes, cluster_store)
+        self.max_lag = max_lag
+        self._feat_fn = jax.jit(
+            lambda frames: self.model.apply(
+                {"params": self.params, "batch_stats": self.batch_stats},
+                frames, method=self.model.frame_features,
+            )
+        )
+        self._head_fn = jax.jit(
+            lambda fused, centers: self.model.apply(
+                {"params": self.params, "batch_stats": self.batch_stats},
+                fused, centers, method=self.model.predict_from_features,
+            )
+        )
+
+    def _predict_streamed(self, fused_clip, input_hw, ori_shape, centers):
+        logits = self._head_fn(fused_clip, centers)
+        logits = resize_bilinear(logits, input_hw)
+        logits = resize_bilinear(logits, ori_shape)
+        return np.asarray(jnp.argmax(jax.nn.softmax(logits, axis=-1), axis=-1)[0])
+
+    def run_streaming(self, dataset, keep_for_vc: bool = False,
+                      save_dir: str | None = None) -> dict:
+        cache: dict[tuple[str, int], jnp.ndarray] = {}
+        for idx in range(len(dataset)):
+            video, frame = dataset.frame_index[idx]
+            frames_list = dataset.frames[video]
+            t = frames_list.index(frame)
+            item = dataset.get_test_item(idx)
+            imgs = item["imgs"]  # (T, H, W, 3)
+            sample = dataset.sample_test_clip(idx)
+
+            # encode only frames not in cache (the target frame is always new)
+            for pos, fi in enumerate(sample.frame_indices):
+                if (video, fi) not in cache:
+                    cache[(video, fi)] = self._feat_fn(
+                        jnp.asarray(imgs[pos][None])
+                    )
+            fused = jnp.stack(
+                [cache[(video, fi)][0] for fi in sample.frame_indices], axis=0
+            )[None]  # (1, T, h, w, C)
+
+            centers = None
+            if self.cluster_store is not None:
+                centers = jnp.asarray(self.cluster_store(video))[None]
+            pred = self._predict_streamed(
+                fused, imgs.shape[1:3], tuple(item["ori_shape"]), centers
+            )
+            gt = dataset.load_gt(idx)
+            self.confusion = update_confusion(
+                self.confusion, jnp.asarray(pred), jnp.asarray(gt.astype(np.int32)),
+                self.num_classes,
+            )
+            if keep_for_vc:
+                self._vc_preds[video].append(pred.astype(np.uint8))
+                self._vc_gts[video].append(gt.astype(np.int32))
+            if save_dir is not None:
+                save_pred_png(pred, os.path.join(save_dir, video,
+                                                 frame.rsplit(".", 1)[0] + ".png"))
+            # evict frames older than the dilation window
+            for key in [k for k in cache if k[0] == video and k[1] < t - self.max_lag]:
+                del cache[key]
+            if t == len(frames_list) - 1:  # end of video: drop everything
+                cache = {k: v for k, v in cache.items() if k[0] != video}
+        return self.summary(with_vc=keep_for_vc)

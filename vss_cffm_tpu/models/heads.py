@@ -229,9 +229,26 @@ class CFFMHead(nn.Module):
         train: bool = False,
         cluster_centers: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
+        _c = self.decode(feats, train and self.cfg.mode != "finetune")
+        return self.forward_fused(_c, batch_size, num_clips, train, cluster_centers)
+
+    def forward_fused(
+        self,
+        _c: jnp.ndarray,  # (B*T, h, w, embed_dim) per-frame fused features
+        batch_size: int,
+        num_clips: int,
+        train: bool = False,
+        cluster_centers: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """Head forward from per-frame fused features.
+
+        Split out from ``__call__`` so a streaming evaluator can cache the
+        (backbone + per-frame decode) features of each video frame — in the
+        reference eval protocol every frame is re-encoded up to 4× as it
+        appears in successive clips' dilation windows.
+        """
         cfg = self.cfg
         finetune = cfg.mode == "finetune"
-        _c = self.decode(feats, train and not finetune)
         if finetune:
             # reference freezes linear_fuse in eval mode + detaches the CFFM
             # branch during finetune (``cffm_head.py:478-480, 514-518``)

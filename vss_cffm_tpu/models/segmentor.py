@@ -79,6 +79,22 @@ class CFFMSegmentor(nn.Module):
         feats = self.backbone(flat, deterministic=not train)
         return self.decode_head(feats, b, t, train, cluster_centers)
 
+    def frame_features(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """Per-frame fused 1/4 features (B, h/4, w/4, embed_dim) — the
+        cacheable prefix of eval inference (backbone + per-frame decode)."""
+        feats = self.backbone(frames, deterministic=True)
+        return self.decode_head.decode(feats, False)
+
+    def predict_from_features(
+        self,
+        fused: jnp.ndarray,  # (B, T, h/4, w/4, embed_dim)
+        cluster_centers: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """Eval logits from cached per-frame features."""
+        b, t = fused.shape[:2]
+        flat = fused.reshape((b * t,) + fused.shape[2:])
+        return self.decode_head.forward_fused(flat, b, t, False, cluster_centers)
+
     def prototype_features(self, imgs: jnp.ndarray) -> jnp.ndarray:
         """Fused 1/8 features of each frame, for CFFM++ phase-A k-means.
 
