@@ -165,7 +165,15 @@ def normalize_clip(
     std: np.ndarray = IMG_STD,
     to_rgb: bool = True,
 ) -> list[np.ndarray]:
-    """mmcv imnormalize: optional BGR→RGB then (x − mean)/std, f32."""
+    """mmcv imnormalize: optional BGR→RGB then (x − mean)/std, f32.
+
+    Uses the native fused single-pass kernel when the C++ lib is built
+    (three numpy passes otherwise).
+    """
+    from .. import native
+
+    if native.available() and imgs and imgs[0].dtype == np.uint8:
+        return [native.normalize_f32(im, mean, std, to_rgb) for im in imgs]
     out = []
     for im in imgs:
         im = im.astype(np.float32)

@@ -37,6 +37,7 @@ import numpy as np
 from PIL import Image
 
 from . import transforms as T
+from .. import native
 
 __all__ = ["VSPWVideoDataset", "load_label", "reduce_zero_label"]
 
@@ -153,11 +154,17 @@ class VSPWVideoDataset:
         )
 
     def _load_frames(self, video: str, frames: list[str], indices: list[int], with_seg: bool):
+        use_native = native.available()
         imgs, segs = [], ([] if with_seg else None)
         for i in indices:
             name = frames[i]
-            img = cv2.imread(self._img_path(video, name), cv2.IMREAD_COLOR)
-            assert img is not None, self._img_path(video, name)
+            path = self._img_path(video, name)
+            if use_native:
+                with open(path, "rb") as f:
+                    img = native.decode_jpeg(f.read())
+            else:
+                img = cv2.imread(path, cv2.IMREAD_COLOR)
+            assert img is not None, path
             imgs.append(img)
             if with_seg:
                 segs.append(load_label(self._seg_path(video, name), self.reduce_zero))
