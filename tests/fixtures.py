@@ -25,7 +25,10 @@ def make_fake_vspw(root, videos=("vid_a", "vid_b"), frames_per_video=15, hw=(72,
         for i in range(frames_per_video):
             img = rng.randint(0, 255, (h, w, 3), np.uint8)
             cv2.imwrite(os.path.join(odir, f"{i:08d}.jpg"), img)
-            # raw labels in [0, num_classes]; 0 is "others" -> ignore
+            # raw labels in [0, num_classes]; 0 is "others" -> ignore.
+            # (fromarray(..., mode="P") corrupts data — use L + putpalette)
             seg = rng.randint(0, num_classes + 1, (h, w)).astype(np.uint8)
-            Image.fromarray(seg, mode="P").save(os.path.join(mdir, f"{i:08d}.png"))
+            img_p = Image.fromarray(seg)
+            img_p.putpalette([v for k in range(256) for v in (k, k, k)])
+            img_p.save(os.path.join(mdir, f"{i:08d}.png"))
     return root

@@ -1,0 +1,82 @@
+"""End-to-end CLI integration: train a few iters on the synthetic VSPW tree,
+then evaluate the checkpoint — the full tools/train.py → tools/test.py path
+the reference exercises via dist_train.sh/dist_test.sh."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from fixtures import make_fake_vspw
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_CONFIG = """
+import dataclasses
+from vss_cffm_tpu.config import DataConfig, ExperimentConfig
+from vss_cffm_tpu.models.segmentor import SegmentorConfig
+from vss_cffm_tpu.models.heads import CFFMHeadConfig
+from vss_cffm_tpu.models.cffm_transformer import CFFMDecoderConfig
+from vss_cffm_tpu.models.mit import MIT_VARIANTS
+from vss_cffm_tpu.train.optim import OptimConfig
+
+
+def config():
+    head = CFFMHeadConfig(
+        in_channels=tuple(MIT_VARIANTS["mit_b0"].embed_dims),
+        embed_dim=32, num_classes=124, num_clips=4,
+        decoder=CFFMDecoderConfig(dim=32, depth=1, num_heads=2),
+    )
+    return ExperimentConfig(
+        model=SegmentorConfig(backbone="mit_b0", head=head),
+        optim=OptimConfig(lr=1e-3, max_iters=2, warmup_iters=0, warmup_ratio=1.0),
+        data=DataConfig(data_root={data_root!r}, crop_size=(64, 64),
+                        img_scale=(96, 64), batch_size=2, num_workers=2),
+        work_dir={work_dir!r},
+        checkpoint_interval=2,
+        log_interval=1,
+        bf16=False,
+    )
+"""
+
+
+@pytest.fixture(scope="module")
+def env():
+    e = dict(os.environ)
+    e["JAX_PLATFORMS"] = "cpu"
+    e["PYTHONPATH"] = REPO + os.pathsep + e.get("PYTHONPATH", "")
+    return e
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = make_fake_vspw(str(tmp_path_factory.mktemp("vspw")), hw=(64, 96))
+    work = str(tmp_path_factory.mktemp("work"))
+    cfg_path = os.path.join(work, "tiny_config.py")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_CONFIG.format(data_root=root, work_dir=work))
+    return root, work, cfg_path
+
+
+def test_train_then_test_cli(setup, env):
+    root, work, cfg_path = setup
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train.py"), cfg_path],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    ckpt = os.path.join(work, "ckpt")
+    assert os.path.isdir(ckpt)
+
+    out_json = os.path.join(work, "metrics.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "test.py"), cfg_path, ckpt,
+         "--streaming", "--out", out_json],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(out_json) as f:
+        metrics = json.load(f)
+    assert "mIoU" in metrics and "FWIoU" in metrics

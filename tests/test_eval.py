@@ -96,9 +96,25 @@ def test_clip_evaluator_end_to_end(vspw_root, tmp_path):
                  save_dir=str(tmp_path / "preds"))
     assert 0.0 <= out["aAcc"] <= 1.0
     assert "VC8" in out and "mIoU_seen" in out and "FWIoU" in out
-    # PNGs written per frame
+    # PNGs written per frame, pixel-exact roundtrip in palette mode
     import glob
-    assert len(glob.glob(str(tmp_path / "preds" / "*" / "*.png"))) == 15
+    from PIL import Image
+
+    paths = glob.glob(str(tmp_path / "preds" / "*" / "*.png"))
+    assert len(paths) == 15
+    img = Image.open(paths[0])
+    assert img.mode == "P"
+
+
+def test_save_pred_png_roundtrip(rng, tmp_path):
+    from PIL import Image
+    from vss_cffm_tpu.eval import save_pred_png
+
+    pred = rng.randint(0, 124, (33, 47)).astype(np.uint8)
+    path = str(tmp_path / "v" / "f.png")
+    save_pred_png(pred, path)
+    back = np.array(Image.open(path))
+    np.testing.assert_array_equal(back, pred)
 
 
 def test_prototype_generation_and_store(vspw_root, tmp_path):

@@ -23,6 +23,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# honor JAX_PLATFORMS=cpu even though the axon TPU plugin would otherwise win
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,8 +57,18 @@ def main():
     ap.add_argument("--load-from")
     ap.add_argument("--resume-from")
     ap.add_argument("--seed", type=int)
+    ap.add_argument("--eval-interval", type=int, default=0,
+                    help="run val mIoU every N iters (0 = only rely on checkpoints; "
+                         "mirrors the reference EvalHook)")
+    ap.add_argument("--profile-dir",
+                    help="capture a jax.profiler trace of iterations 10-13 here")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: call jax.distributed.initialize() (env-driven)")
     ap.add_argument("--options", nargs="*", default=[])
     args = ap.parse_args()
+
+    if args.distributed:
+        jax.distributed.initialize()
 
     cfg = apply_overrides(load_config(args.config), args.options)
     work_dir = args.work_dir or cfg.work_dir
@@ -63,18 +77,27 @@ def main():
     logger.info(f"config: {cfg}")
 
     seed = args.seed if args.seed is not None else cfg.seed
-    mesh = create_mesh()
+    # shard over as many devices as the global batch divides into
+    devices = jax.devices()
+    n_use = max(d for d in range(1, len(devices) + 1) if cfg.data.batch_size % d == 0)
+    if n_use < len(devices):
+        logger.warning(f"batch {cfg.data.batch_size} not divisible by "
+                       f"{len(devices)} devices; using {n_use}")
+    mesh = create_mesh(devices[:n_use])
 
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
     model = CFFMSegmentor(cfg.model, dtype=dtype)
     finetune = cfg.model.head.mode == "finetune"
 
+    proc_id, n_procs = jax.process_index(), jax.process_count()
     dataset = VSPWVideoDataset(
         cfg.data.data_root, "train", dilation=cfg.data.dilation,
         crop_size=cfg.data.crop_size, img_scale=cfg.data.img_scale,
     )
-    loader = TrainLoader(dataset, cfg.data.batch_size, seed=seed,
-                         num_workers=cfg.data.num_workers)
+    assert cfg.data.batch_size % n_procs == 0
+    loader = TrainLoader(dataset, cfg.data.batch_size // n_procs, seed=seed,
+                         num_workers=cfg.data.num_workers,
+                         shard_id=proc_id, num_shards=n_procs)
     store = ClusterStore(cfg.cluster_dir) if finetune else None
 
     # ---- init -------------------------------------------------------------
@@ -135,6 +158,30 @@ def main():
                 f"({cfg.data.batch_size * (len(cfg.data.dilation) + 1) / dt:.1f} frames/s)"
             )
             window_losses, t0 = [], time.time()
+
+        if args.profile_dir and it == start + 9:
+            jax.profiler.start_trace(args.profile_dir)
+        if args.profile_dir and it == start + 13:
+            jax.profiler.stop_trace()
+            logger.info(f"profiler trace written to {args.profile_dir}")
+
+        if args.eval_interval and (it + 1) % args.eval_interval == 0:
+            from vss_cffm_tpu.data import iterate_eval
+            from vss_cffm_tpu.eval import ClipEvaluator
+
+            # NOTE: on multi-host runs each process reports metrics over its
+            # own frame shard; aggregate offline (or run tools/test.py).
+            val_ds = VSPWVideoDataset(cfg.data.data_root, "val",
+                                      dilation=cfg.data.dilation,
+                                      img_scale=cfg.data.img_scale)
+            host_state = jax.device_get(state)
+            ev = ClipEvaluator(model, host_state.params, host_state.batch_stats,
+                               cfg.model.head.num_classes, cluster_store=store)
+            m = ev.run(iterate_eval(val_ds, num_workers=cfg.data.num_workers,
+                                    shard_id=proc_id, num_shards=n_procs),
+                       dataset=val_ds)
+            logger.info(f"eval @ {it + 1}: mIoU {m['mIoU']:.4f} "
+                        f"mIoU_seen {m['mIoU_seen']:.4f} FWIoU {m['FWIoU']:.4f}")
 
         if (it + 1) % cfg.checkpoint_interval == 0 or (it + 1) == cfg.optim.max_iters:
             ckpt.save(

@@ -39,7 +39,9 @@ __all__ = ["ClipEvaluator", "StreamingVideoEvaluator", "save_pred_png"]
 def save_pred_png(pred: np.ndarray, path: str, palette=VSPW_PALETTE):
     """Palette PNG writer (``format_results``, ``custom.py:2525-2546``)."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    img = Image.fromarray(pred.astype(np.uint8), mode="P")
+    # NOTE: Image.fromarray(arr, mode="P") silently corrupts pixel data;
+    # fromarray (mode L) + putpalette yields a correct mode-P PNG.
+    img = Image.fromarray(pred.astype(np.uint8))
     flat = [c for rgb in palette for c in rgb]
     img.putpalette(flat + [0] * (768 - len(flat)))
     img.save(path)

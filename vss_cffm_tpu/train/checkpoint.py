@@ -27,6 +27,8 @@ __all__ = ["CheckpointManager"]
 def _config_to_jsonable(cfg: Any) -> Any:
     if dataclasses.is_dataclass(cfg):
         return {f.name: _config_to_jsonable(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, dict):
+        return {k: _config_to_jsonable(v) for k, v in cfg.items()}
     if isinstance(cfg, (tuple, list)):
         return [_config_to_jsonable(v) for v in cfg]
     return cfg
