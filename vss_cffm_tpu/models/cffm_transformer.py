@@ -479,9 +479,7 @@ class CFFMWindowAttention(nn.Module):
             v_parts.append(_unfold_patches(v_p, level.kernel, level.stride, pad, level.valid_keep))
             mask_parts.append(level.unfold_mask)
 
-        k_all = jnp.concatenate(k_parts, axis=2)  # (B, nW, N, C)
-        v_all = jnp.concatenate(v_parts, axis=2)
-        n_src = k_all.shape[2]
+        n_src = sum(k.shape[2] for k in k_parts)
 
         # --- relative position biases ---------------------------------------
         bias_chunks = []
@@ -513,16 +511,33 @@ class CFFMWindowAttention(nn.Module):
         mask = jnp.asarray(np.concatenate(mask_parts, axis=1))  # (nW, N)
 
         # --- attention -------------------------------------------------------
+        # Per-source-group scoring: K/V groups are never concatenated into
+        # one (B, nW, N, C) tensor (which cost ~25% of decoder time as pure
+        # HBM concatenate traffic); only the much smaller score tensor is
+        # assembled for the softmax, and the output is a sum of per-group
+        # attention matmuls.
         qh = q_win.reshape(b, -1, area, nh, hd).transpose(0, 1, 3, 2, 4)  # B,nW,nh,49,hd
-        kh = k_all.reshape(b, -1, n_src, nh, hd).transpose(0, 1, 3, 2, 4)
-        vh = v_all.reshape(b, -1, n_src, nh, hd).transpose(0, 1, 3, 2, 4)
-        attn = jnp.einsum("bwhqd,bwhkd->bwhqk", qh * scale, kh)
+        qs = qh * scale
+        score_parts = []
+        for kp in k_parts:
+            khp = kp.reshape(b, -1, kp.shape[2], nh, hd).transpose(0, 1, 3, 2, 4)
+            score_parts.append(jnp.einsum("bwhqd,bwhkd->bwhqk", qs, khp))
+        attn = jnp.concatenate(score_parts, axis=-1)  # (B, nW, nh, 49, N)
         attn = attn + bias[None, None].astype(attn.dtype)
         attn = attn + mask[None, :, None, None, :].astype(attn.dtype)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         if cfg.attn_drop > 0.0:
             attn = nn.Dropout(cfg.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bwhqk,bwhkd->bwhqd", attn, vh)
+        out = None
+        offset = 0
+        for vp in v_parts:
+            n_g = vp.shape[2]
+            vhp = vp.reshape(b, -1, n_g, nh, hd).transpose(0, 1, 3, 2, 4)
+            contrib = jnp.einsum(
+                "bwhqk,bwhkd->bwhqd", attn[..., offset : offset + n_g], vhp
+            )
+            out = contrib if out is None else out + contrib
+            offset += n_g
         out = out.transpose(0, 1, 3, 2, 4).reshape(b, -1, area, c)
         out = nn.Dense(c, kernel_init=_dense_init, dtype=self.dtype, name="proj")(out)
         if cfg.drop > 0.0:
