@@ -515,30 +515,44 @@ class CFFMWindowAttention(nn.Module):
         # one (B, nW, N, C) tensor (which cost ~25% of decoder time as pure
         # HBM concatenate traffic); only the much smaller score tensor is
         # assembled for the softmax, and the output is a sum of per-group
-        # attention matmuls.
-        qh = q_win.reshape(b, -1, area, nh, hd).transpose(0, 1, 3, 2, 4)  # B,nW,nh,49,hd
-        qs = qh * scale
-        score_parts = []
-        for kp in k_parts:
-            khp = kp.reshape(b, -1, kp.shape[2], nh, hd).transpose(0, 1, 3, 2, 4)
-            score_parts.append(jnp.einsum("bwhqd,bwhkd->bwhqk", qs, khp))
-        attn = jnp.concatenate(score_parts, axis=-1)  # (B, nW, nh, 49, N)
-        attn = attn + bias[None, None].astype(attn.dtype)
-        attn = attn + mask[None, :, None, None, :].astype(attn.dtype)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        if cfg.attn_drop > 0.0:
-            attn = nn.Dropout(cfg.attn_drop)(attn, deterministic=deterministic)
-        out = None
-        offset = 0
-        for vp in v_parts:
-            n_g = vp.shape[2]
-            vhp = vp.reshape(b, -1, n_g, nh, hd).transpose(0, 1, 3, 2, 4)
-            contrib = jnp.einsum(
-                "bwhqk,bwhkd->bwhqd", attn[..., offset : offset + n_g], vhp
-            )
-            out = contrib if out is None else out + contrib
-            offset += n_g
-        out = out.transpose(0, 1, 3, 2, 4).reshape(b, -1, area, c)
+        # attention matmuls. At inference this entire block (score concat +
+        # bias/mask + f32 softmax + AV) runs as one fused Pallas kernel
+        # (``ops/cfm_attention.py``); training keeps the differentiable XLA
+        # formulation (identical math) for autodiff + attention dropout.
+        n_w = geom.num_windows
+        if deterministic and cfg.attn_drop == 0.0:
+            from ..ops.cfm_attention import cfm_attention
+
+            q_f = q_win.reshape(b * n_w, area, c)
+            ks = [kp.reshape(b * n_w, kp.shape[2], c) for kp in k_parts]
+            vs = [vp.reshape(b * n_w, vp.shape[2], c) for vp in v_parts]
+            mask_t = jnp.tile(mask, (b, 1))
+            out = cfm_attention(q_f, ks, vs, bias, mask_t, nh)
+            out = out.reshape(b, n_w, area, c)
+        else:
+            qh = q_win.reshape(b, -1, area, nh, hd).transpose(0, 1, 3, 2, 4)
+            qs = qh * scale
+            score_parts = []
+            for kp in k_parts:
+                khp = kp.reshape(b, -1, kp.shape[2], nh, hd).transpose(0, 1, 3, 2, 4)
+                score_parts.append(jnp.einsum("bwhqd,bwhkd->bwhqk", qs, khp))
+            attn = jnp.concatenate(score_parts, axis=-1)  # (B, nW, nh, 49, N)
+            attn = attn + bias[None, None].astype(attn.dtype)
+            attn = attn + mask[None, :, None, None, :].astype(attn.dtype)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            if cfg.attn_drop > 0.0:
+                attn = nn.Dropout(cfg.attn_drop)(attn, deterministic=deterministic)
+            out = None
+            offset = 0
+            for vp in v_parts:
+                n_g = vp.shape[2]
+                vhp = vp.reshape(b, -1, n_g, nh, hd).transpose(0, 1, 3, 2, 4)
+                contrib = jnp.einsum(
+                    "bwhqk,bwhkd->bwhqd", attn[..., offset : offset + n_g], vhp
+                )
+                out = contrib if out is None else out + contrib
+                offset += n_g
+            out = out.transpose(0, 1, 3, 2, 4).reshape(b, -1, area, c)
         out = nn.Dense(c, kernel_init=_dense_init, dtype=self.dtype, name="proj")(out)
         if cfg.drop > 0.0:
             out = nn.Dropout(cfg.drop)(out, deterministic=deterministic)

@@ -1,0 +1,164 @@
+"""Fused CFM window attention — Pallas TPU kernel.
+
+Fuses the score concatenation + bias/mask add + f32 softmax + per-group AV
+of the CFM attention (see ``models/cffm_transformer.CFFMWindowAttention``)
+into one VMEM-resident pass per window tile. Under XLA these steps write the
+(B, nW, nh, 49, N) score tensor to HBM in bf16, re-read it for the f32
+softmax, and write/read the f32 probabilities again (~80 MB per CFFM block
+at 480² eval); here scores never leave VMEM.
+
+The K/V *assembly* (window partition, rolls, patch extraction) stays in XLA
+— those are structured reshapes/convolutions the compiler already lowers
+well; the kernel takes the per-group K/V tensors as separate inputs.
+
+API::
+
+    out = cfm_attention(q, ks, vs, bias, mask)     # all NHWC-free, window-major
+      q    (nW, 49, nh*hd)
+      ks   list of (nW, n_g, nh*hd)
+      vs   list of (nW, n_g, nh*hd)
+      bias (nh, 49, N)   N = Σ n_g
+      mask (nW, N)       additive 0 / −100
+
+Falls back to the XLA formulation off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["cfm_attention"]
+
+
+def _kernel(q_ref, *refs, num_groups: int, nh: int, hd: int, tw: int, gsizes):
+    k_refs = refs[:num_groups]
+    v_refs = refs[num_groups : 2 * num_groups]
+    bias_ref, mask_ref, o_ref = refs[2 * num_groups : 2 * num_groups + 3]
+
+    area = q_ref.shape[1]
+    n_total = sum(gsizes)
+    q = q_ref[:]  # (tw, 49, nh*hd)
+    bias = bias_ref[:]  # (nh, 49, N) f32
+    mask = mask_ref[:]  # (tw, N) f32
+
+    scale = hd**-0.5
+    # (tw, 49, nh, hd) -> (tw, nh, 49, hd)
+    qh = q.reshape(tw, area, nh, hd).transpose(0, 2, 1, 3) * scale
+
+    # scores per group, concatenated in-register
+    parts = []
+    for g in range(num_groups):
+        kg = k_refs[g][:]  # (tw, n_g, nh*hd)
+        khg = kg.reshape(tw, gsizes[g], nh, hd).transpose(0, 2, 1, 3)
+        parts.append(
+            jax.lax.dot_general(
+                qh, khg,
+                dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32,
+            )
+        )  # (tw, nh, 49, n_g)
+    scores = jnp.concatenate(parts, axis=-1)  # (tw, nh, 49, N) f32
+    scores = scores + bias[None]
+    scores = scores + mask[:, None, None, :]
+
+    # numerically-stable softmax in f32, entirely in VMEM
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    out = jnp.zeros((tw, nh, area, hd), jnp.float32)
+    off = 0
+    for g in range(num_groups):
+        vg = v_refs[g][:]
+        vhg = vg.reshape(tw, gsizes[g], nh, hd).transpose(0, 2, 1, 3)
+        pg = p[..., off : off + gsizes[g]].astype(vhg.dtype)
+        out = out + jax.lax.dot_general(
+            pg, vhg,
+            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32,
+        )
+        off += gsizes[g]
+
+    o_ref[:] = out.transpose(0, 2, 1, 3).reshape(tw, area, nh * hd).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "interpret"))
+def _cfm_attention_pallas(q, ks, vs, bias, mask, nh: int, interpret: bool = False):
+    n_w, area, c = q.shape
+    hd = c // nh
+    gsizes = tuple(int(k.shape[1]) for k in ks)
+    num_groups = len(ks)
+    # tile windows; each program handles tw windows fully in VMEM
+    tw = 1
+    for cand in (27, 16, 9, 8, 4, 3, 2, 1):
+        if n_w % cand == 0:
+            tw = cand
+            break
+
+    grid = (n_w // tw,)
+    in_specs = [pl.BlockSpec((tw, area, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+    for g in gsizes:
+        in_specs.append(
+            pl.BlockSpec((tw, g, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+    for g in gsizes:
+        in_specs.append(
+            pl.BlockSpec((tw, g, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # bias (broadcast)
+    n_total = sum(gsizes)
+    in_specs.append(
+        pl.BlockSpec((tw, n_total), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    )
+
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, num_groups=num_groups, nh=nh, hd=hd, tw=tw, gsizes=gsizes
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_w, area, c), q.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tw, area, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, *ks, *vs, bias.astype(jnp.float32), mask.astype(jnp.float32))
+
+
+def _cfm_attention_xla(q, ks, vs, bias, mask, nh: int):
+    n_w, area, c = q.shape
+    hd = c // nh
+    scale = hd**-0.5
+    qh = q.reshape(n_w, area, nh, hd).transpose(0, 2, 1, 3) * scale
+    parts = []
+    for kg in ks:
+        khg = kg.reshape(n_w, kg.shape[1], nh, hd).transpose(0, 2, 1, 3)
+        parts.append(jnp.einsum("whqd,whkd->whqk", qh, khg))
+    scores = jnp.concatenate(parts, axis=-1).astype(jnp.float32)
+    scores = scores + bias[None].astype(jnp.float32)
+    scores = scores + mask[:, None, None, :].astype(jnp.float32)
+    p = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = None
+    off = 0
+    for vg in vs:
+        n_g = vg.shape[1]
+        vhg = vg.reshape(n_w, n_g, nh, hd).transpose(0, 2, 1, 3)
+        contrib = jnp.einsum("whqk,whkd->whqd", p[..., off : off + n_g], vhg)
+        out = contrib if out is None else out + contrib
+        off += n_g
+    return out.transpose(0, 2, 1, 3).reshape(n_w, area, c)
+
+
+def cfm_attention(q, ks, vs, bias, mask, nh: int, force: str | None = None):
+    """force: None (auto) | 'pallas' | 'xla' | 'interpret'."""
+    if force == "interpret":
+        return _cfm_attention_pallas(q, tuple(ks), tuple(vs), bias, mask, nh, interpret=True)
+    if force == "xla":
+        return _cfm_attention_xla(q, ks, vs, bias, mask, nh)
+    platform = jax.devices()[0].platform
+    if force == "pallas" or platform in ("tpu", "axon"):
+        return _cfm_attention_pallas(q, tuple(ks), tuple(vs), bias, mask, nh)
+    return _cfm_attention_xla(q, ks, vs, bias, mask, nh)
