@@ -47,58 +47,70 @@ def _kernel(q_ref, *refs, num_groups: int, nh: int, hd: int, tw: int, gsizes):
     mask = mask_ref[:]  # (tw, N) f32
 
     scale = hd**-0.5
-    # (tw, 49, nh, hd) -> (tw, nh, 49, hd)
-    qh = q.reshape(tw, area, nh, hd).transpose(0, 2, 1, 3) * scale
+    # fold (tw, nh) into one batch dim — Mosaic matmul supports one batch dim
+    qh = (q.reshape(tw, area, nh, hd).transpose(0, 2, 1, 3) * scale).reshape(
+        tw * nh, area, hd
+    )
 
     # scores per group, concatenated in-register
     parts = []
     for g in range(num_groups):
         kg = k_refs[g][:]  # (tw, n_g, nh*hd)
-        khg = kg.reshape(tw, gsizes[g], nh, hd).transpose(0, 2, 1, 3)
+        khg = kg.reshape(tw, gsizes[g], nh, hd).transpose(0, 2, 1, 3).reshape(
+            tw * nh, gsizes[g], hd
+        )
         parts.append(
             jax.lax.dot_general(
                 qh, khg,
-                dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-        )  # (tw, nh, 49, n_g)
-    scores = jnp.concatenate(parts, axis=-1)  # (tw, nh, 49, N) f32
+        )  # (tw*nh, 49, n_g)
+    scores = jnp.concatenate(parts, axis=-1).reshape(tw, nh, area, n_total)
     scores = scores + bias[None]
     scores = scores + mask[:, None, None, :]
 
     # numerically-stable softmax in f32, entirely in VMEM
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).reshape(tw * nh, area, n_total)
 
-    out = jnp.zeros((tw, nh, area, hd), jnp.float32)
+    out = jnp.zeros((tw * nh, area, hd), jnp.float32)
     off = 0
     for g in range(num_groups):
         vg = v_refs[g][:]
-        vhg = vg.reshape(tw, gsizes[g], nh, hd).transpose(0, 2, 1, 3)
+        vhg = vg.reshape(tw, gsizes[g], nh, hd).transpose(0, 2, 1, 3).reshape(
+            tw * nh, gsizes[g], hd
+        )
         pg = p[..., off : off + gsizes[g]].astype(vhg.dtype)
         out = out + jax.lax.dot_general(
             pg, vhg,
-            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         off += gsizes[g]
 
-    o_ref[:] = out.transpose(0, 2, 1, 3).reshape(tw, area, nh * hd).astype(o_ref.dtype)
+    out = out.reshape(tw, nh, area, hd).transpose(0, 2, 1, 3).reshape(tw, area, nh * hd)
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("nh", "interpret"))
 def _cfm_attention_pallas(q, ks, vs, bias, mask, nh: int, interpret: bool = False):
-    n_w, area, c = q.shape
+    n_w0, area, c = q.shape
     hd = c // nh
     gsizes = tuple(int(k.shape[1]) for k in ks)
     num_groups = len(ks)
-    # tile windows; each program handles tw windows fully in VMEM
-    tw = 1
-    for cand in (27, 16, 9, 8, 4, 3, 2, 1):
-        if n_w % cand == 0:
-            tw = cand
-            break
+    # Mosaic wants the sublane dim of 2-D blocks 8-aligned: pad the window
+    # axis to a multiple of the tile (padded windows attend to zeros with a
+    # zero mask — harmless — and are cropped after).
+    tw = 8
+    n_w = -(-n_w0 // tw) * tw
+    if n_w != n_w0:
+        pad = [(0, n_w - n_w0)]
+        q = jnp.pad(q, pad + [(0, 0), (0, 0)])
+        ks = tuple(jnp.pad(k, pad + [(0, 0), (0, 0)]) for k in ks)
+        vs = tuple(jnp.pad(v, pad + [(0, 0), (0, 0)]) for v in vs)
+        mask = jnp.pad(mask, pad + [(0, 0)])
 
     grid = (n_w // tw,)
     in_specs = [pl.BlockSpec((tw, area, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
@@ -116,7 +128,7 @@ def _cfm_attention_pallas(q, ks, vs, bias, mask, nh: int, interpret: bool = Fals
         pl.BlockSpec((tw, n_total), lambda i: (i, 0), memory_space=pltpu.VMEM)
     )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _kernel, num_groups=num_groups, nh=nh, hd=hd, tw=tw, gsizes=gsizes
         ),
@@ -126,6 +138,7 @@ def _cfm_attention_pallas(q, ks, vs, bias, mask, nh: int, interpret: bool = Fals
         out_specs=pl.BlockSpec((tw, area, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(q, *ks, *vs, bias.astype(jnp.float32), mask.astype(jnp.float32))
+    return out[:n_w0]
 
 
 def _cfm_attention_xla(q, ks, vs, bias, mask, nh: int):
@@ -153,12 +166,17 @@ def _cfm_attention_xla(q, ks, vs, bias, mask, nh: int):
 
 
 def cfm_attention(q, ks, vs, bias, mask, nh: int, force: str | None = None):
-    """force: None (auto) | 'pallas' | 'xla' | 'interpret'."""
+    """force: None (XLA default) | 'pallas' | 'xla' | 'interpret'.
+
+    Default is the XLA formulation: with head_dim 32 (256 dim / 8 heads) the
+    per-head matmuls occupy only a quarter of the 128-lane registers and
+    Mosaic cannot relayout the head split in-kernel, so the hand-fused
+    kernel cannot beat XLA's head-batched einsums on this geometry. The
+    Pallas path is kept as an experimental option (and a correctness-tested
+    reference for future geometries with head_dim ≥ 128).
+    """
     if force == "interpret":
         return _cfm_attention_pallas(q, tuple(ks), tuple(vs), bias, mask, nh, interpret=True)
-    if force == "xla":
-        return _cfm_attention_xla(q, ks, vs, bias, mask, nh)
-    platform = jax.devices()[0].platform
-    if force == "pallas" or platform in ("tpu", "axon"):
+    if force == "pallas":
         return _cfm_attention_pallas(q, tuple(ks), tuple(vs), bias, mask, nh)
     return _cfm_attention_xla(q, ks, vs, bias, mask, nh)
