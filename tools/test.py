@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--streaming", action="store_true",
                     help="video-sequential eval with per-frame feature cache (~4x faster, "
                          "identical outputs)")
+    ap.add_argument("--aug-test", action="store_true",
+                    help="multi-scale (0.5..1.75) + flip TTA (reference --aug-test)")
     ap.add_argument("--format-only", action="store_true")
     ap.add_argument("--show-dir", default="result_submission")
     ap.add_argument("--out", help="dump metrics JSON here")
@@ -93,10 +95,12 @@ def main():
     else:
         evaluator = ClipEvaluator(model, params, batch_stats,
                                   cfg.model.head.num_classes, cluster_store=store)
-        metrics = evaluator.run(
-            iterate_eval(dataset, num_workers=cfg.data.num_workers),
-            dataset=dataset, keep_for_vc=args.vc, save_dir=save_dir,
-        )
+        if args.aug_test:
+            items = (dataset.get_test_item_tta(i) for i in range(len(dataset)))
+        else:
+            items = iterate_eval(dataset, num_workers=cfg.data.num_workers)
+        metrics = evaluator.run(items, dataset=dataset, keep_for_vc=args.vc,
+                                save_dir=save_dir)
     summary = {k: v for k, v in metrics.items() if np.isscalar(v) or isinstance(v, float)}
     logger.info(f"metrics: {summary}")
     if args.out:

@@ -202,6 +202,37 @@ class VSPWVideoDataset:
             "frame": sample.target_frame,
         }
 
+    def get_test_item_tta(
+        self,
+        idx: int,
+        ratios: Sequence[float] = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75),
+        flip: bool = True,
+    ) -> dict:
+        """Multi-scale(+flip) eval views (``MultiScaleFlipAug`` ≙
+        ``tools/test.py --aug-test``, reference ``test_time_aug.py:10-133``):
+        one AlignedResize'd clip per ratio, plus flipped copies."""
+        sample = self.sample_test_clip(idx)
+        frames = self.frames[sample.video]
+        imgs, _ = self._load_frames(sample.video, frames, sample.frame_indices, False)
+        ori_shape = imgs[0].shape[:2]
+        views, flips = [], []
+        for r in ratios:
+            scale = (int(self.img_scale[0] * r), int(self.img_scale[1] * r))
+            scaled, _ = T.aligned_resize_clip(imgs, None, scale)
+            arr = np.stack(T.normalize_clip(scaled)).astype(np.float32)
+            views.append(arr)
+            flips.append(False)
+            if flip:  # flip applied device-side by tta_inference
+                views.append(arr)
+                flips.append(True)
+        return {
+            "views": views,
+            "flips": flips,
+            "ori_shape": ori_shape,
+            "video": sample.video,
+            "frame": sample.target_frame,
+        }
+
     def get_prototype_item(self, idx: int, num_frames: int = 10) -> dict:
         sample = self.sample_prototype_clip(idx, num_frames)
         frames = self.frames[sample.video]

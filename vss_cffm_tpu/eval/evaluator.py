@@ -72,6 +72,28 @@ class ClipEvaluator:
         prob = jax.nn.softmax(logits, axis=-1)
         return jnp.argmax(prob, axis=-1)[0]
 
+    def predict_tta(self, item: dict) -> np.ndarray:
+        """Multi-scale flip TTA (≙ ``aug_test`` softmax averaging)."""
+        from .inference import tta_inference
+
+        centers = None
+        if self.cluster_store is not None:
+            centers = jnp.asarray(self.cluster_store(item["video"]))[None]
+
+        def logits_fn(imgs):
+            return self.model.apply(
+                {"params": self.params, "batch_stats": self.batch_stats},
+                imgs, False, centers,
+            )
+
+        prob = tta_inference(
+            logits_fn,
+            [jnp.asarray(v)[None] for v in item["views"]],
+            item["flips"],
+            tuple(item["ori_shape"]),
+        )
+        return np.asarray(jnp.argmax(prob, axis=-1)[0])
+
     def predict(self, item: dict) -> np.ndarray:
         centers = None
         if self.cluster_store is not None:
@@ -83,7 +105,7 @@ class ClipEvaluator:
         return pred
 
     def add(self, item: dict, gt: np.ndarray, keep_for_vc: bool = False) -> np.ndarray:
-        pred = self.predict(item)
+        pred = self.predict_tta(item) if "views" in item else self.predict(item)
         self.confusion = update_confusion(
             self.confusion, pred, jnp.asarray(gt.astype(np.int32)), self.num_classes
         )
