@@ -42,6 +42,28 @@ def test_inference_segmentor_single_image(rng):
     assert seg.shape == (60, 90)
 
 
+def test_image_mode_inference(rng):
+    """Single-frame SegFormer through the same API (arch='image')."""
+    import dataclasses as dc
+    from vss_cffm_tpu.apis import init_segmentor
+    from vss_cffm_tpu.models.mit import MIT_VARIANTS
+    from vss_cffm_tpu.models.segmentor import SegmentorConfig
+    from test_heads_segmentor import TINY_HEAD
+
+    cfg = ExperimentConfig(
+        model=SegmentorConfig(
+            backbone="mit_b0",
+            head=dc.replace(TINY_HEAD, in_channels=tuple(MIT_VARIANTS["mit_b0"].embed_dims)),
+            arch="image",
+        ),
+        data=DataConfig(crop_size=(64, 64), img_scale=(96, 64)),
+    )
+    bundle = init_segmentor(cfg, None, dtype=jnp.float32)
+    img = rng.randint(0, 255, (60, 90, 3)).astype(np.uint8)
+    seg = inference_segmentor(bundle, img)
+    assert seg.shape == (60, 90)
+
+
 def test_show_result_overlay(rng):
     img = rng.randint(0, 255, (32, 32, 3)).astype(np.uint8)
     seg = rng.randint(0, 5, (32, 32))

@@ -23,7 +23,7 @@ import numpy as np
 from .config import ExperimentConfig, load_config
 from .data import transforms as T
 from .data.palette import VSPW_PALETTE
-from .models import CFFMSegmentor
+from .models.segmentor import build_segmentor
 from .ops.resize import resize_bilinear
 
 __all__ = ["init_segmentor", "inference_segmentor", "show_result"]
@@ -31,7 +31,7 @@ __all__ = ["init_segmentor", "inference_segmentor", "show_result"]
 
 @dataclasses.dataclass
 class SegmentorBundle:
-    model: CFFMSegmentor
+    model: object  # CFFMSegmentor | ImageSegmentor
     params: dict
     batch_stats: dict
     cfg: ExperimentConfig
@@ -39,9 +39,12 @@ class SegmentorBundle:
 
 def init_segmentor(config, checkpoint: str | None = None, dtype=jnp.bfloat16) -> SegmentorBundle:
     cfg = load_config(config) if isinstance(config, str) else config
-    model = CFFMSegmentor(cfg.model, dtype=dtype)
-    t = len(cfg.data.dilation) + 1
-    sample = jnp.zeros((1, t, *cfg.data.crop_size, 3), jnp.float32)
+    model = build_segmentor(cfg.model, dtype=dtype)
+    if cfg.model.arch == "image":
+        sample = jnp.zeros((1, *cfg.data.crop_size, 3), jnp.float32)
+    else:
+        t = len(cfg.data.dilation) + 1
+        sample = jnp.zeros((1, t, *cfg.data.crop_size, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
@@ -79,12 +82,15 @@ def inference_segmentor(bundle: SegmentorBundle, imgs) -> np.ndarray:
     first = imgs[0]
     ori = (cv2.imread(first).shape[:2] if isinstance(first, str) else first.shape[:2])
     clip = _prepare_frames(imgs, bundle.cfg.data.img_scale)
+    image_mode = bundle.cfg.model.arch == "image"
+    if image_mode:
+        clip = clip[-1]  # single frame (H, W, 3)
 
     @jax.jit
     def forward(params, batch_stats, x):
         logits = bundle.model.apply({"params": params, "batch_stats": batch_stats},
                                     x[None], False)
-        logits = resize_bilinear(logits, x.shape[1:3])
+        logits = resize_bilinear(logits, x.shape[-3:-1])
         logits = resize_bilinear(logits, ori)
         return jnp.argmax(jax.nn.softmax(logits, axis=-1), axis=-1)[0]
 

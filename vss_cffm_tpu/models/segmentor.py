@@ -25,17 +25,31 @@ import jax.numpy as jnp
 from .heads import CFFMHead, CFFMHeadConfig, SegFormerHead
 from .mit import MIT_VARIANTS, MiT, MiTConfig
 
-__all__ = ["SegmentorConfig", "CFFMSegmentor", "ImageSegmentor", "build_model_config"]
+__all__ = [
+    "SegmentorConfig",
+    "CFFMSegmentor",
+    "ImageSegmentor",
+    "build_model_config",
+    "build_segmentor",
+]
 
 
 @dataclasses.dataclass(frozen=True)
 class SegmentorConfig:
     backbone: str = "mit_b1"
     head: CFFMHeadConfig = dataclasses.field(default_factory=CFFMHeadConfig)
+    arch: str = "cffm"  # "cffm" (clip) | "image" (single-frame SegFormer)
 
     @property
     def backbone_config(self) -> MiTConfig:
         return MIT_VARIANTS[self.backbone]
+
+
+def build_segmentor(config: "SegmentorConfig", dtype=jnp.float32):
+    """Factory: the (tiny) registry replacing mmseg's string dispatch."""
+    if config.arch == "image":
+        return ImageSegmentor(config, dtype)
+    return CFFMSegmentor(config, dtype)
 
 
 def build_model_config(variant: str = "b1", num_classes: int = 124, num_clips: int = 4,
