@@ -42,11 +42,23 @@ def cross_entropy(
     pixel_weight: jnp.ndarray | None = None,
     avg_factor: float | None = None,
 ) -> jnp.ndarray:
-    """Mean CE over all pixels; ignored pixels contribute zero loss."""
+    """Mean CE over all pixels; ignored pixels contribute zero loss.
+
+    TPU note: formulated as ``logsumexp − Σ(one_hot ⊙ logits)`` rather than
+    ``take_along_axis(log_softmax)``. The label pick then fuses into a
+    select-reduce over the class axis and the f32 upcasts fuse into the
+    reductions; the gather formulation cost 140 ms/step at the CFFM train
+    geometry (the single most expensive op in the program) and materialized
+    the full f32 log-softmax tensor.
+    """
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    num_classes = logits.shape[-1]
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    class_ids = jnp.arange(num_classes, dtype=safe_labels.dtype)
+    picked = jnp.where(safe_labels[..., None] == class_ids, logits.astype(jnp.float32), 0.0)
+    x_label = jnp.sum(picked, axis=-1)
+    nll = lse - x_label
     if class_weight is not None:
         nll = nll * class_weight[safe_labels]
     nll = jnp.where(valid, nll, 0.0)
