@@ -48,28 +48,47 @@ def save_pred_png(pred: np.ndarray, path: str, palette=VSPW_PALETTE):
 
 
 class ClipEvaluator:
-    """Accumulates predictions into an on-device confusion matrix."""
+    """Accumulates predictions into an on-device confusion matrix.
+
+    ``mode``: 'whole' (default; the CFFM configs' ``test_cfg.mode``) or
+    'slide' with ``crop_size``/``stride`` (reference
+    ``encoder_decoder.py:457-500``).
+    """
 
     def __init__(self, model, params, batch_stats, num_classes: int,
-                 cluster_store=None):
+                 cluster_store=None, mode: str = "whole",
+                 crop_size: tuple[int, int] = (480, 480),
+                 stride: tuple[int, int] = (320, 320)):
         self.model = model
         self.params = params
         self.batch_stats = batch_stats
         self.num_classes = num_classes
         self.cluster_store = cluster_store
+        self.mode = mode
+        self.crop_size = crop_size
+        self.stride = stride
         self.confusion = jnp.zeros((num_classes, num_classes), jnp.int32)
         self._predict = jax.jit(self._predict_impl, static_argnames=("ori_shape",))
         self._vc_preds: dict[str, list[np.ndarray]] = defaultdict(list)
         self._vc_gts: dict[str, list[np.ndarray]] = defaultdict(list)
 
     def _predict_impl(self, imgs, ori_shape, cluster_centers=None):
-        logits = self.model.apply(
-            {"params": self.params, "batch_stats": self.batch_stats},
-            imgs[None], False, cluster_centers,
-        )  # (1, h/4, w/4, C)
-        logits = resize_bilinear(logits, imgs.shape[1:3])
-        logits = resize_bilinear(logits, ori_shape)
-        prob = jax.nn.softmax(logits, axis=-1)
+        def logits_fn(clip):
+            return self.model.apply(
+                {"params": self.params, "batch_stats": self.batch_stats},
+                clip, False, cluster_centers,
+            )  # (1, h/4, w/4, C)
+
+        if self.mode == "slide":
+            from .inference import slide_inference
+
+            prob = slide_inference(logits_fn, imgs[None], ori_shape,
+                                   self.crop_size, self.stride)
+        else:
+            logits = logits_fn(imgs[None])
+            logits = resize_bilinear(logits, imgs.shape[1:3])
+            logits = resize_bilinear(logits, ori_shape)
+            prob = jax.nn.softmax(logits, axis=-1)
         return jnp.argmax(prob, axis=-1)[0]
 
     def predict_tta(self, item: dict) -> np.ndarray:
