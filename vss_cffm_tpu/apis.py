@@ -13,8 +13,6 @@
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
-
 import cv2
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ Parity with the reference metric stack
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

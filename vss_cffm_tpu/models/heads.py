@@ -55,25 +55,6 @@ class CFFMHeadConfig:
     cluster_blend: float = 0.5  # eval output x2 + blend*x3 (``cffm_head.py:532``)
 
 
-class ConvBNReLU(nn.Module):
-    """mmcv ConvModule(conv 1x1, SyncBN, ReLU) — conv bias off when normed."""
-
-    features: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(
-            self.features, (1, 1), use_bias=False, kernel_init=_conv_init,
-            dtype=self.dtype, name="conv",
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn",
-        )(x)
-        return nn.relu(x)
-
-
 class _Proj(nn.Module):
     """Linear projection with an optional *merged* second matmul.
 

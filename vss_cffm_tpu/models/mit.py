@@ -22,7 +22,7 @@ bf16-friendly compute dtype with f32 parameters, exact (erf) GELU matching
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -11,10 +11,9 @@ mesh, gradients reduced by GSPMD collectives.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from ..models.losses import clip_ce_loss
