@@ -34,7 +34,6 @@ from .mit import _dense_init
 
 __all__ = ["CFFMHeadConfig", "SegFormerHead", "CFFMHead"]
 
-_conv_init = nn.initializers.variance_scaling(1.0, "fan_out", "truncated_normal")
 # reference ``decode_head.py:637-639``: conv_seg/linear_pred init normal(0, 0.01)
 _pred_init = nn.initializers.normal(stddev=0.01)
 
