@@ -17,12 +17,40 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["create_mesh", "shard_batch", "replicate", "batch_sharding"]
+__all__ = [
+    "create_mesh",
+    "create_clip_mesh",
+    "shard_batch",
+    "shard_clip_batch",
+    "replicate",
+    "batch_sharding",
+]
 
 
 def create_mesh(devices=None, axis_name: str = "data") -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def create_clip_mesh(devices=None, frame_axis: int = 4) -> Mesh:
+    """2-D (data, frames) mesh for clip-level frame parallelism.
+
+    CFFM's frames are embarrassingly parallel through the backbone and the
+    per-frame decode (reference ``encoder_decoder.py:436-441`` flattens
+    (B, T) into one frame batch); only the 1/8 fused features meet in the
+    CFFM block, and the reference frames enter it solely as *pooled* coarse
+    windows. Sharding the T axis therefore runs each frame's encoder on its
+    own chip and all-gathers only small pooled tensors over ICI — the
+    sequence-parallel axis SURVEY §2.4 identifies, with GSPMD inserting the
+    collectives.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    frame_axis = min(frame_axis, n)
+    while n % frame_axis:
+        frame_axis -= 1
+    return Mesh(np.asarray(devices).reshape(n // frame_axis, frame_axis),
+                ("data", "frames"))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
@@ -32,6 +60,12 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     """Device-put a host batch with the leading axis sharded over the mesh."""
     sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_clip_batch(batch: Any, mesh: Mesh) -> Any:
+    """Shard (B, T, ...) arrays over a (data, frames) mesh."""
+    sharding = NamedSharding(mesh, P("data", "frames"))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
