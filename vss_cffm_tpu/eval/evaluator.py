@@ -60,8 +60,10 @@ class ClipEvaluator:
                  crop_size: tuple[int, int] = (480, 480),
                  stride: tuple[int, int] = (320, 320)):
         self.model = model
-        self.params = params
-        self.batch_stats = batch_stats
+        # ensure jnp leaves: numpy params (e.g. straight from device_get)
+        # break traced fancy-indexing inside the model
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.batch_stats = jax.tree.map(jnp.asarray, batch_stats)
         self.num_classes = num_classes
         self.cluster_store = cluster_store
         self.mode = mode

@@ -486,8 +486,12 @@ class CFFMWindowAttention(nn.Module):
         table = self.param(
             "relative_position_bias_table", nn.initializers.zeros, ((2 * ws - 1) ** 2, nh)
         )
-        bias_chunks.append(table[jnp.asarray(geom.win_bias_index.reshape(-1))]
-                           .reshape(area, area, nh).transpose(2, 0, 1))
+        # jnp.take (not table[idx]): params may arrive as numpy arrays, whose
+        # fancy indexing cannot accept a traced index
+        bias_chunks.append(
+            jnp.take(table, jnp.asarray(geom.win_bias_index.reshape(-1)), axis=0)
+            .reshape(area, area, nh).transpose(2, 0, 1)
+        )
         n_rolled = geom.rolled_idx.shape[1]
         neighbor_bias = self.param(
             "relative_position_bias_to_neighbors", _dense_init, (nh, area, n_rolled)
@@ -497,16 +501,20 @@ class CFFMWindowAttention(nn.Module):
             tbl = self.param(
                 f"relative_position_bias_to_windows_{i}", _dense_init, (nh, level.bias_table_size)
             )
-            bias_chunks.append(tbl[:, jnp.asarray(level.bias_index.reshape(-1))]
-                               .reshape(nh, area, -1))
+            bias_chunks.append(
+                jnp.take(tbl, jnp.asarray(level.bias_index.reshape(-1)), axis=1)
+                .reshape(nh, area, -1)
+            )
         for i, level in enumerate(geom.clip_levels):
             tbl = self.param(
                 f"relative_position_bias_to_windows_clips_{i}",
                 _dense_init,
                 (nh, level.bias_table_size),
             )
-            bias_chunks.append(tbl[:, jnp.asarray(level.bias_index.reshape(-1))]
-                               .reshape(nh, area, -1))
+            bias_chunks.append(
+                jnp.take(tbl, jnp.asarray(level.bias_index.reshape(-1)), axis=1)
+                .reshape(nh, area, -1)
+            )
         bias = jnp.concatenate(bias_chunks, axis=-1)  # (nH, 49, N)
         mask = jnp.asarray(np.concatenate(mask_parts, axis=1))  # (nW, N)
 

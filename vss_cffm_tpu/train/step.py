@@ -65,7 +65,14 @@ def make_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def step_fn(state, batch, rng):
+        # keep only the array fields (loader batches also carry video names)
+        arrays = {k: batch[k] for k in ("imgs", "labels", "cluster_centers") if k in batch}
+        return jitted(state, arrays, rng)
+
+    return step_fn
 
 
 def make_eval_step(model) -> Callable:
