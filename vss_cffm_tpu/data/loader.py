@@ -90,7 +90,13 @@ class TrainLoader:
                             "labels": np.stack([b["labels"] for b in batch_items]),
                             "videos": [b["video"] for b in batch_items],
                         }
-                        out_q.put(batch)
+                        # bounded put that stays responsive to consumer exit
+                        while not stop.is_set():
+                            try:
+                                out_q.put(batch, timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
                 except Exception as e:  # surface worker errors to the consumer
                     out_q.put(e)
 
