@@ -117,6 +117,24 @@ def test_save_pred_png_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(back, pred)
 
 
+def test_cluster_store_multi_file_subset(tmp_path, rng):
+    """Multiple centre files per video: concat + random 80% subset, then
+    resample to the static n_clusters (reference ``cffm_head.py:437-452``)."""
+    from vss_cffm_tpu.eval import ClusterStore
+
+    vdir = tmp_path / "centers" / "vid_x"
+    vdir.mkdir(parents=True)
+    np.save(vdir / "a.npy", rng.randn(10, 8).astype(np.float32))
+    np.save(vdir / "b.npy", rng.randn(10, 8).astype(np.float32))
+    store = ClusterStore(str(tmp_path / "centers"), n_clusters=16)
+    c = store("vid_x")
+    assert c.shape == (16, 8)
+    # memoised: second call returns the identical array
+    assert store("vid_x") is c
+    with pytest.raises(FileNotFoundError):
+        store("missing_video")
+
+
 def test_prototype_generation_and_store(vspw_root, tmp_path):
     model = tiny_segmentor()
     ds = VSPWVideoDataset(vspw_root, "train_val_generate_prototype")
