@@ -528,7 +528,8 @@ class CFFMWindowAttention(nn.Module):
         # (``ops/cfm_attention.py``); training keeps the differentiable XLA
         # formulation (identical math) for autodiff + attention dropout.
         n_w = geom.num_windows
-        if deterministic and cfg.attn_drop == 0.0:
+        if cfg.attn_drop == 0.0:  # streaming softmax is differentiable; the
+            # inline path below exists only for attention dropout
             from ..ops.cfm_attention import cfm_attention
 
             q_f = q_win.reshape(b * n_w, area, c)

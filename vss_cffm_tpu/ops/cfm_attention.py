@@ -142,26 +142,43 @@ def _cfm_attention_pallas(q, ks, vs, bias, mask, nh: int, interpret: bool = Fals
 
 
 def _cfm_attention_xla(q, ks, vs, bias, mask, nh: int):
+    """Streaming-softmax formulation: per-group scores are never concatenated.
+
+    Exact two-pass online softmax over the source groups — pass 1 computes
+    the global max, pass 2 accumulates exp-weighted V sums and the
+    denominator per group. Removes the (nW, nh, 49, N) score-concat tensor
+    (the largest decoder intermediate) from HBM entirely.
+    """
     n_w, area, c = q.shape
     hd = c // nh
     scale = hd**-0.5
     qh = q.reshape(n_w, area, nh, hd).transpose(0, 2, 1, 3) * scale
-    parts = []
-    for kg in ks:
-        khg = kg.reshape(n_w, kg.shape[1], nh, hd).transpose(0, 2, 1, 3)
-        parts.append(jnp.einsum("whqd,whkd->whqk", qh, khg))
-    scores = jnp.concatenate(parts, axis=-1).astype(jnp.float32)
-    scores = scores + bias[None].astype(jnp.float32)
-    scores = scores + mask[:, None, None, :].astype(jnp.float32)
-    p = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = None
+
+    score_parts = []
     off = 0
-    for vg in vs:
-        n_g = vg.shape[1]
-        vhg = vg.reshape(n_w, n_g, nh, hd).transpose(0, 2, 1, 3)
-        contrib = jnp.einsum("whqk,whkd->whqd", p[..., off : off + n_g], vhg)
-        out = contrib if out is None else out + contrib
+    for kg in ks:
+        n_g = kg.shape[1]
+        khg = kg.reshape(n_w, n_g, nh, hd).transpose(0, 2, 1, 3)
+        s = jnp.einsum("whqd,whkd->whqk", qh, khg).astype(jnp.float32)
+        s = s + bias[None, :, :, off : off + n_g].astype(jnp.float32)
+        s = s + mask[:, None, None, off : off + n_g].astype(jnp.float32)
+        score_parts.append(s)
         off += n_g
+
+    m = score_parts[0].max(axis=-1, keepdims=True)
+    for s in score_parts[1:]:
+        m = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+
+    out = None
+    denom = None
+    for s, vg in zip(score_parts, vs):
+        e = jnp.exp(s - m)
+        d = e.sum(axis=-1, keepdims=True)
+        denom = d if denom is None else denom + d
+        vhg = vg.reshape(n_w, vg.shape[1], nh, hd).transpose(0, 2, 1, 3)
+        contrib = jnp.einsum("whqk,whkd->whqd", e.astype(q.dtype), vhg)
+        out = contrib if out is None else out + contrib
+    out = (out.astype(jnp.float32) / denom).astype(q.dtype)
     return out.transpose(0, 2, 1, 3).reshape(n_w, area, c)
 
 
