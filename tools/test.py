@@ -38,14 +38,20 @@ from vss_cffm_tpu.train import CheckpointManager, TrainState, build_optimizer
 from vss_cffm_tpu.utils import get_logger
 
 
-def load_state(cfg, model, ckpt_dir, sample, finetune, store):
+def load_state(cfg, model, ckpt, sample, finetune, store):
+    if ckpt.endswith((".pth", ".pt")):
+        # reference-format PyTorch checkpoint → converted in place
+        from vss_cffm_tpu.utils.torch_convert import convert_segmentor, load_torch_state_dict
+
+        converted = convert_segmentor(load_torch_state_dict(ckpt), cfg.model)
+        return converted["params"], converted["batch_stats"]
     init_kwargs = {}
     if finetune:
         init_kwargs["cluster_centers"] = jnp.zeros((1, store.n_clusters, cfg.model.head.embed_dim))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample, **init_kwargs)
     tx = build_optimizer(variables["params"], cfg.optim)
     state = TrainState.create(variables, tx)
-    mgr = CheckpointManager(ckpt_dir)
+    mgr = CheckpointManager(ckpt)
     params, batch_stats = mgr.load_params(state)
     return params, batch_stats
 
