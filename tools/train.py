@@ -123,10 +123,43 @@ def main():
         state = mgr.restore(state)
         logger.info(f"resumed from step {int(state.step)}")
     elif args.load_from or cfg.load_from:
-        mgr = CheckpointManager(args.load_from or cfg.load_from)
-        params, batch_stats = mgr.load_params(state)
-        state = state.replace(params=params, batch_stats=batch_stats)
-        logger.info("warm-started params from checkpoint")
+        src = args.load_from or cfg.load_from
+        if src.endswith((".pth", ".pt")):
+            # warm start from a reference-format PyTorch checkpoint (e.g.
+            # pretrained mit_bX.pth into the backbone, or a full CFFM ckpt
+            # for CFFM++ finetune — reference ``--load-from`` semantics)
+            from vss_cffm_tpu.utils.torch_convert import (
+                convert_backbone,
+                convert_segmentor,
+                load_torch_state_dict,
+            )
+
+            def merge(dst, src_tree):
+                # recursive overlay: checkpoint leaves win, freshly-initialised
+                # leaves survive where the ckpt has none (strict=False
+                # semantics — finetune heads add modules absent from a CFFM
+                # checkpoint, and mit_bX.pth covers only the backbone)
+                for k, v in src_tree.items():
+                    if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                        merge(dst[k], v)
+                    else:
+                        dst[k] = v
+
+            sd = load_torch_state_dict(src)
+            dst = jax.tree.map(lambda x: x, state.params)  # shallow rebuild
+            if any(k.startswith("decode_head.") for k in sd):
+                converted = convert_segmentor(sd, cfg.model)
+                merge(dst, converted["params"])
+                state = state.replace(params=dst, batch_stats=converted["batch_stats"])
+            else:
+                merge(dst, {"backbone": convert_backbone(sd, cfg.model.backbone_config.depths)})
+                state = state.replace(params=dst)
+            logger.info(f"warm-started from PyTorch checkpoint {src}")
+        else:
+            mgr = CheckpointManager(src)
+            params, batch_stats = mgr.load_params(state)
+            state = state.replace(params=params, batch_stats=batch_stats)
+            logger.info("warm-started params from checkpoint")
 
     state = replicate(state, mesh)
     step_fn = make_train_step(model, tx)
