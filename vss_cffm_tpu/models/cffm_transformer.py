@@ -383,21 +383,14 @@ class _FcPool(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, Hq, Wq, C) -> (B, Hq/pw, Wq/pw, C)
-        c = x.shape[-1]
+        b, h, w, c = x.shape
         pw = self.pool_window
         n = pw * pw
         kernel = self.param("kernel", lambda *_: jnp.full((n, 1), 1.0 / n, jnp.float32), (n, 1))
         bias = self.param("bias", nn.initializers.zeros, (1,))
-        kern = jnp.broadcast_to(
-            kernel.astype(self.dtype).reshape(pw, pw, 1, 1), (pw, pw, 1, c)
-        )
-        out = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kern,
-            window_strides=(pw, pw),
-            padding="VALID",
-            feature_group_count=c,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        x6 = x.astype(self.dtype).reshape(b, h // pw, pw, w // pw, pw, c)
+        out = jnp.einsum(
+            "bipjqc,pq->bijc", x6, kernel.astype(self.dtype).reshape(pw, pw)
         )
         return out + bias.astype(self.dtype)
 
