@@ -97,7 +97,8 @@ def main():
     assert cfg.data.batch_size % n_procs == 0
     loader = TrainLoader(dataset, cfg.data.batch_size // n_procs, seed=seed,
                          num_workers=cfg.data.num_workers,
-                         shard_id=proc_id, num_shards=n_procs)
+                         shard_id=proc_id, num_shards=n_procs,
+                         device_normalize=True)
     store = ClusterStore(cfg.cluster_dir) if finetune else None
 
     # ---- init -------------------------------------------------------------

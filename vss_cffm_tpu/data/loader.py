@@ -49,6 +49,7 @@ class TrainLoader:
         prefetch: int = 2,
         shard_id: int = 0,
         num_shards: int = 1,
+        device_normalize: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -57,6 +58,8 @@ class TrainLoader:
         self.prefetch = prefetch
         self.shard_id = shard_id
         self.num_shards = num_shards
+        # emit uint8 BGR batches; mean/std/BGR→RGB runs inside the train step
+        self.device_normalize = device_normalize
 
     def _index_stream(self) -> Iterator[tuple[int, int]]:
         epoch = 0
@@ -83,7 +86,10 @@ class TrainLoader:
                         while len(pending) < self.batch_size * 2:
                             epoch, idx = next(stream)
                             rng = _sample_rng(self.seed, epoch, idx)
-                            pending.append(pool.submit(self.dataset.get_train_item, idx, rng))
+                            pending.append(
+                                pool.submit(self.dataset.get_train_item, idx, rng,
+                                            not self.device_normalize)
+                            )
                         batch_items = [pending.pop(0).result() for _ in range(self.batch_size)]
                         batch = {
                             "imgs": np.stack([b["imgs"] for b in batch_items]),

@@ -171,18 +171,27 @@ class VSPWVideoDataset:
         return imgs, segs
 
     # ------------------------------------------------------------- assembly
-    def get_train_item(self, idx: int, rng: np.random.RandomState) -> dict:
-        """Full train pipeline → dict(imgs (T,H,W,3) f32, labels (T,H,W) i32)."""
+    def get_train_item(self, idx: int, rng: np.random.RandomState,
+                       normalize: bool = True) -> dict:
+        """Full train pipeline → dict(imgs (T,H,W,3), labels (T,H,W) i32).
+
+        With ``normalize=False`` the images stay uint8 BGR (pre-normalize) —
+        the device-side-normalization path: 4× less host→device traffic and
+        one fewer full-image host pass per frame (the mean/std/BGR→RGB math
+        moves into the jitted train step, bit-identical results).
+        """
         sample, frames = self.sample_train_clip(idx, rng)
         imgs, segs = self._load_frames(sample.video, frames, sample.frame_indices, True)
         imgs, segs = T.random_scale_clip(imgs, segs, rng, self.img_scale)
         imgs, segs = T.random_crop_clip(imgs, segs, rng, self.crop_size)
         imgs, segs, _ = T.random_flip_clip(imgs, segs, rng)
         imgs = T.photometric_distortion_clip(imgs, rng)
-        imgs = T.normalize_clip(imgs)
+        if normalize:
+            imgs = T.normalize_clip(imgs)
         imgs, segs = T.pad_clip(imgs, segs, self.crop_size)
+        stacked = np.stack(imgs)
         return {
-            "imgs": np.stack(imgs).astype(np.float32),
+            "imgs": stacked.astype(np.float32) if normalize else stacked,
             "labels": np.stack(segs).astype(np.int32),
             "video": sample.video,
             "frame": sample.target_frame,
