@@ -197,15 +197,21 @@ class VSPWVideoDataset:
             "frame": sample.target_frame,
         }
 
-    def get_test_item(self, idx: int) -> dict:
-        """Eval pipeline (AlignedResize /32) → imgs (T,H',W',3) + meta."""
+    def get_test_item(self, idx: int, normalize: bool = True) -> dict:
+        """Eval pipeline (AlignedResize /32) → imgs (T,H',W',3) + meta.
+
+        ``normalize=False`` keeps uint8 BGR for device-side normalization."""
         sample = self.sample_test_clip(idx)
         frames = self.frames[sample.video]
         imgs, _ = self._load_frames(sample.video, frames, sample.frame_indices, False)
         ori_shape = imgs[0].shape[:2]
         imgs, _ = T.aligned_resize_clip(imgs, None, self.img_scale)
+        if normalize:
+            stacked = np.stack(T.normalize_clip(imgs)).astype(np.float32)
+        else:
+            stacked = np.stack(imgs)
         return {
-            "imgs": np.stack(T.normalize_clip(imgs)).astype(np.float32),
+            "imgs": stacked,
             "ori_shape": ori_shape,
             "video": sample.video,
             "frame": sample.target_frame,

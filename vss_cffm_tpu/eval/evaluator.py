@@ -75,6 +75,11 @@ class ClipEvaluator:
         self._vc_gts: dict[str, list[np.ndarray]] = defaultdict(list)
 
     def _predict_impl(self, imgs, ori_shape, cluster_centers=None):
+        if imgs.dtype == jnp.uint8:  # device-side normalization path
+            from ..train.step import device_normalize
+
+            imgs = device_normalize(imgs)
+
         def logits_fn(clip):
             return self.model.apply(
                 {"params": self.params, "batch_stats": self.batch_stats},
@@ -181,15 +186,22 @@ class StreamingVideoEvaluator(ClipEvaluator):
     """
 
     def __init__(self, model, params, batch_stats, num_classes: int,
-                 cluster_store=None, max_lag: int = 9):
+                 cluster_store=None, max_lag: int = 9, device_normalize: bool = True):
         super().__init__(model, params, batch_stats, num_classes, cluster_store)
         self.max_lag = max_lag
-        self._feat_fn = jax.jit(
-            lambda frames: self.model.apply(
+        self.device_normalize = device_normalize
+
+        def _features(frames):
+            if frames.dtype == jnp.uint8:
+                from ..train.step import device_normalize as dev_norm
+
+                frames = dev_norm(frames)
+            return self.model.apply(
                 {"params": self.params, "batch_stats": self.batch_stats},
                 frames, method=self.model.frame_features,
             )
-        )
+
+        self._feat_fn = jax.jit(_features)
         self._head_fn = jax.jit(
             lambda fused, centers: self.model.apply(
                 {"params": self.params, "batch_stats": self.batch_stats},
@@ -210,7 +222,7 @@ class StreamingVideoEvaluator(ClipEvaluator):
             video, frame = dataset.frame_index[idx]
             frames_list = dataset.frames[video]
             t = frames_list.index(frame)
-            item = dataset.get_test_item(idx)
+            item = dataset.get_test_item(idx, normalize=not self.device_normalize)
             imgs = item["imgs"]  # (T, H, W, 3)
             sample = dataset.sample_test_clip(idx)
 
