@@ -91,12 +91,14 @@ class ClipEvaluator:
 
             prob = slide_inference(logits_fn, imgs[None], ori_shape,
                                    self.crop_size, self.stride)
-        else:
-            logits = logits_fn(imgs[None])
-            logits = resize_bilinear(logits, imgs.shape[1:3])
-            logits = resize_bilinear(logits, ori_shape)
-            prob = jax.nn.softmax(logits, axis=-1)
-        return jnp.argmax(prob, axis=-1)[0]
+            return jnp.argmax(prob, axis=-1)[0]
+        logits = logits_fn(imgs[None])
+        logits = resize_bilinear(logits, imgs.shape[1:3])
+        logits = resize_bilinear(logits, ori_shape)
+        # softmax is monotone per pixel: argmax(softmax(z)) == argmax(z), so
+        # the reference's softmax (``encoder_decoder.py:543``) is skipped —
+        # it only matters when probabilities are averaged (TTA / slide).
+        return jnp.argmax(logits, axis=-1)[0]
 
     def predict_tta(self, item: dict) -> np.ndarray:
         """Multi-scale flip TTA (≙ ``aug_test`` softmax averaging)."""
@@ -213,7 +215,7 @@ class StreamingVideoEvaluator(ClipEvaluator):
         logits = self._head_fn(fused_clip, centers)
         logits = resize_bilinear(logits, input_hw)
         logits = resize_bilinear(logits, ori_shape)
-        return np.asarray(jnp.argmax(jax.nn.softmax(logits, axis=-1), axis=-1)[0])
+        return np.asarray(jnp.argmax(logits, axis=-1)[0])  # softmax is monotone
 
     def run_streaming(self, dataset, keep_for_vc: bool = False,
                       save_dir: str | None = None) -> dict:
