@@ -90,7 +90,7 @@ def inference_segmentor(bundle: SegmentorBundle, imgs) -> np.ndarray:
                                     x[None], False)
         logits = resize_bilinear(logits, x.shape[-3:-1])
         logits = resize_bilinear(logits, ori)
-        return jnp.argmax(jax.nn.softmax(logits, axis=-1), axis=-1)[0]
+        return jnp.argmax(logits, axis=-1)[0]  # softmax is argmax-invariant
 
     return np.asarray(forward(bundle.params, bundle.batch_stats, jnp.asarray(clip)))
 
