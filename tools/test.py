@@ -33,7 +33,7 @@ import numpy as np
 from vss_cffm_tpu.config import apply_overrides, load_config
 from vss_cffm_tpu.data import VSPWVideoDataset, iterate_eval
 from vss_cffm_tpu.eval import ClipEvaluator, ClusterStore
-from vss_cffm_tpu.models import CFFMSegmentor
+from vss_cffm_tpu.models.segmentor import build_segmentor
 from vss_cffm_tpu.train import CheckpointManager, TrainState, build_optimizer
 from vss_cffm_tpu.utils import get_logger
 
@@ -77,7 +77,7 @@ def main():
 
     cfg = apply_overrides(load_config(args.config), args.options)
     logger = get_logger()
-    model = CFFMSegmentor(cfg.model, dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32)
+    model = build_segmentor(cfg.model, dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32)
     finetune = cfg.model.head.mode == "finetune"
     store = ClusterStore(cfg.cluster_dir) if finetune else None
 
@@ -96,7 +96,7 @@ def main():
         evaluator = StreamingVideoEvaluator(model, params, batch_stats,
                                             cfg.model.head.num_classes,
                                             cluster_store=store,
-                                            max_lag=-min(cfg.data.dilation))
+                                            max_lag=-min(cfg.data.dilation, default=0))
         metrics = evaluator.run_streaming(dataset, keep_for_vc=args.vc, save_dir=save_dir)
     else:
         evaluator = ClipEvaluator(model, params, batch_stats,

@@ -34,7 +34,7 @@ from vss_cffm_tpu.config import apply_overrides, load_config
 from vss_cffm_tpu.data import TrainLoader, VSPWVideoDataset
 from vss_cffm_tpu.data.palette import VSPW_CLASSES, VSPW_PALETTE
 from vss_cffm_tpu.eval import ClusterStore
-from vss_cffm_tpu.models import CFFMSegmentor
+from vss_cffm_tpu.models.segmentor import build_segmentor
 from vss_cffm_tpu.parallel import create_mesh, replicate, shard_batch
 from vss_cffm_tpu.train import (
     CheckpointManager,
@@ -86,7 +86,7 @@ def main():
     mesh = create_mesh(devices[:n_use])
 
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
-    model = CFFMSegmentor(cfg.model, dtype=dtype)
+    model = build_segmentor(cfg.model, dtype=dtype)
     finetune = cfg.model.head.mode == "finetune"
 
     proc_id, n_procs = jax.process_index(), jax.process_count()

@@ -80,7 +80,14 @@ class ClipEvaluator:
 
             imgs = device_normalize(imgs)
 
+        image_arch = getattr(self.model.config, "arch", "cffm") == "image"
+
         def logits_fn(clip):
+            if image_arch:  # single-frame segmentor: evaluate the target frame
+                return self.model.apply(
+                    {"params": self.params, "batch_stats": self.batch_stats},
+                    clip[:, -1], False,
+                )
             return self.model.apply(
                 {"params": self.params, "batch_stats": self.batch_stats},
                 clip, False, cluster_centers,
