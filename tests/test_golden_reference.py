@@ -1,0 +1,104 @@
+"""Golden parity: our flax modules vs the reference's OWN torch code.
+
+Unlike tests/test_mit.py and tests/test_cffm_transformer.py (whose torch
+oracles are builder-written functional re-implementations), these tests
+execute the actual reference classes loaded from /root/reference
+(``mix_transformer.py``, ``cffm_module/cffm_transformer.py``) with identical
+weights pushed through ``utils/torch_convert.py`` — a shared misreading of
+the reference cannot pass both sides here.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from vss_cffm_tpu.models.cffm_transformer import CFFMDecoder, CFFMDecoderConfig
+from vss_cffm_tpu.models.mit import MIT_VARIANTS, MiT
+from vss_cffm_tpu.utils.torch_convert import _cffm_block, convert_backbone
+
+from ref_modules import ref_cffm_transformer, ref_mix_transformer, state_dict_numpy
+
+
+@pytest.mark.parametrize("hw", [(14, 14), (9, 11)])
+def test_cffm_decoder_matches_reference_module(rng, hw):
+    """Full BasicLayer3d3 (depth 2) vs our CFFMDecoder, reference weights.
+
+    Covers: rolled K/V validity selection, fc pooling, unfold entry order,
+    all four relative-bias tables, −100.0 padding masks, window padding for
+    non-multiple-of-7 H/W, last-frame-only residual (reference
+    cffm_transformer.py:364-606, 629-856, 859-935).
+    """
+    ref = ref_cffm_transformer()
+    dim, heads, depth = 64, 2, 2
+    layer = ref.BasicLayer3d3(
+        dim=dim, depth=depth, num_heads=heads, window_size=7, expand_size=3,
+        mlp_ratio=4.0, qkv_bias=True, qk_scale=None, drop=0.0, attn_drop=0.0,
+        drop_path=0.0, pool_method="fc", downsample=None, focal_level=2,
+        focal_window=5, use_checkpoint=False,
+        focal_l_clips=[1, 2, 3], focal_kernel_clips=[7, 5, 3],
+    )
+    layer.eval()
+    sd = state_dict_numpy(layer)
+    params = {f"blocks_{i}": _cffm_block(sd, f"blocks.{i}", 2, 3) for i in range(depth)}
+
+    h, w = hw
+    x = (rng.randn(1, 4, h, w, dim) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        want = layer(torch.from_numpy(x).permute(0, 1, 4, 2, 3))  # (B,D,C,H,W)
+    want = want.permute(0, 1, 3, 4, 2).numpy()
+
+    cfg = CFFMDecoderConfig(dim=dim, depth=depth, num_heads=heads)
+    got = np.asarray(CFFMDecoder(cfg).apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_mit_b0_matches_reference_module(rng):
+    """Full mit_b0 forward_features vs our MiT, reference weights.
+
+    Covers all 4 stages: overlap patch embeds, SRA attention (sr 8/4/2/1),
+    MixFFN depthwise conv, per-stage LayerNorm with eps=1e-6
+    (reference mix_transformer.py:313-349, 373-381).
+    """
+    ref = ref_mix_transformer()
+    net = ref.mit_b0()
+    net.eval()
+    params = convert_backbone(state_dict_numpy(net), (2, 2, 2, 2))
+
+    x = (rng.randn(1, 64, 96, 3) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x).permute(0, 3, 1, 2))  # list of NCHW
+
+    got = MiT(MIT_VARIANTS["mit_b0"]).apply({"params": params}, jnp.asarray(x))
+    assert len(got) == len(want) == 4
+    for i, (g, wt) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(g),
+            wt.permute(0, 2, 3, 1).numpy(),
+            rtol=5e-4, atol=5e-4,
+            err_msg=f"stage {i + 1}",
+        )
+
+
+def test_mit_b1_block_chain_matches_reference(rng):
+    """Stage-1 Block chain of mit_b1 (the highest-token-count stage) at a
+    non-square resolution, exercising sr_ratio=8 KV reduction."""
+    ref = ref_mix_transformer()
+    net = ref.mit_b1()
+    net.eval()
+    params = convert_backbone(state_dict_numpy(net), (2, 2, 2, 2))
+
+    x = (rng.randn(1, 56, 40, 3) * 0.5).astype(np.float32)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        b = xt.shape[0]
+        h1, H, W = net.patch_embed1(xt)
+        for blk in net.block1:
+            h1 = blk(h1, H, W)
+        h1 = net.norm1(h1)
+        want = h1.reshape(b, H, W, -1).numpy()
+
+    feats = MiT(MIT_VARIANTS["mit_b1"]).apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(feats[0]), want, rtol=5e-4, atol=5e-4)
