@@ -118,19 +118,39 @@ def test_save_pred_png_roundtrip(rng, tmp_path):
 
 
 def test_cluster_store_multi_file_subset(tmp_path, rng):
-    """Multiple centre files per video: concat + random 80% subset, then
-    resample to the static n_clusters (reference ``cffm_head.py:437-452``)."""
+    """Multiple centre files per video: concat + random 80% subset used
+    AS-IS (reference ``cffm_head.py:437-452``), zero-padded to the static
+    ``pad_to`` with a validity mask — no resampling-with-replacement."""
     from vss_cffm_tpu.eval import ClusterStore
 
-    vdir = tmp_path / "centers" / "vid_x"
+    root = tmp_path / "centers"
+    vdir = root / "vid_x"
     vdir.mkdir(parents=True)
-    np.save(vdir / "a.npy", rng.randn(10, 8).astype(np.float32))
-    np.save(vdir / "b.npy", rng.randn(10, 8).astype(np.float32))
-    store = ClusterStore(str(tmp_path / "centers"), n_clusters=16)
-    c = store("vid_x")
-    assert c.shape == (16, 8)
-    # memoised: second call returns the identical array
-    assert store("vid_x") is c
+    a = rng.randn(10, 8).astype(np.float32)
+    b = rng.randn(10, 8).astype(np.float32)
+    np.save(vdir / "a.npy", a)
+    np.save(vdir / "b.npy", b)
+    # a second, single-file video with fewer centres than pad_to
+    vdir2 = root / "vid_y"
+    vdir2.mkdir(parents=True)
+    np.save(vdir2 / "centers.npy", rng.randn(5, 8).astype(np.float32))
+
+    store = ClusterStore(str(root), n_clusters=4)
+    # pad_to = max kept count = int(0.8 * 20) = 16
+    assert store.pad_to == 16
+    c, m = store("vid_x")
+    assert c.shape == (16, 8) and m.shape == (16,)
+    assert m.all()  # 16 kept of 20 → no padding
+    # every kept row is one of the original centres, no duplicates
+    pool = np.concatenate([a, b])
+    matches = (c[:, None, :] == pool[None, :, :]).all(-1)
+    assert matches.any(1).all() and matches.sum() == 16
+
+    c2, m2 = store("vid_y")
+    assert m2.sum() == 5 and not m2[5:].any()
+    np.testing.assert_array_equal(c2[5:], 0.0)
+    # memoised: second call returns the identical tuple
+    assert store("vid_x") is store("vid_x")
     with pytest.raises(FileNotFoundError):
         store("missing_video")
 
@@ -144,7 +164,7 @@ def test_prototype_generation_and_store(vspw_root, tmp_path):
     generate_prototypes(model, variables["params"], variables["batch_stats"], ds, save,
                         n_clusters=7, num_frames=4)
     store = ClusterStore(save, n_clusters=7)
-    c = store("vid_a")
-    assert c.shape == (7, 32)
-    batch = store.batch(["vid_a", "vid_b"])
-    assert batch.shape == (2, 7, 32)
+    c, m = store("vid_a")
+    assert c.shape == (7, 32) and m.all()
+    centers, masks = store.batch(["vid_a", "vid_b"])
+    assert centers.shape == (2, 7, 32) and masks.shape == (2, 7)

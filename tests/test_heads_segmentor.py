@@ -144,3 +144,24 @@ def test_build_model_config_variants():
         cfg = build_model_config(v)
         assert cfg.head.decoder.depth == depth
         assert cfg.head.num_classes == 124
+
+
+def test_cluster_decoder_padded_mask_equals_subset(rng):
+    """Masked softmax over padded centres ≡ attention over the valid subset
+    (the reference uses variable-count centres as-is, ``cffm_head.py:444-452``)."""
+    from vss_cffm_tpu.models.cluster_head import ClusterDecoder
+
+    mod = ClusterDecoder(dim=16, num_heads=2)
+    x = jnp.asarray(rng.randn(1, 4, 4, 16), jnp.float32)
+    centers = jnp.asarray(rng.randn(1, 9, 16), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x, centers)["params"]
+
+    padded = jnp.concatenate(
+        [centers, jnp.asarray(rng.randn(1, 3, 16), jnp.float32)], axis=1
+    )
+    mask = jnp.asarray([[True] * 9 + [False] * 3])
+    out_subset = mod.apply({"params": params}, x, centers)
+    out_masked = mod.apply({"params": params}, x, (padded, mask))
+    np.testing.assert_allclose(
+        np.asarray(out_masked), np.asarray(out_subset), rtol=1e-5, atol=1e-5
+    )

@@ -59,3 +59,33 @@ def test_adamw_matches_torch_over_steps(rng):
                                tb.detach().numpy(), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(params["decode_head"]["w"]),
                                th.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_paramwise_first_match_mirrors_mmcv():
+    """mmcv DefaultOptimizerConstructor first-match order [pos_block, head,
+    norm]: decode-head norms/BN are DECAYED with lr×10; only backbone norms
+    get decay 0 (ADVICE r1 medium finding)."""
+    from vss_cffm_tpu.train.optim import paramwise_multipliers
+
+    params = {
+        "backbone": {
+            "block1_0": {"norm1": {"scale": jnp.ones(2)},
+                          "attn": {"q": {"kernel": jnp.ones((2, 2))}}},
+            "norm1": {"bias": jnp.ones(2)},
+        },
+        "decode_head": {
+            "decode": {"bn": {"scale": jnp.ones(2)}},
+            "decoder_focal": {"blocks_0": {"norm1": {"scale": jnp.ones(2)}}},
+            "linear_pred": {"kernel": jnp.ones((2, 2))},
+        },
+    }
+    lr, wd = paramwise_multipliers(params, 10.0)
+    assert lr["backbone"]["block1_0"]["norm1"]["scale"] == 1.0
+    assert wd["backbone"]["block1_0"]["norm1"]["scale"] is False
+    assert wd["backbone"]["norm1"]["bias"] is False
+    assert wd["backbone"]["block1_0"]["attn"]["q"]["kernel"] is True
+    # decode head: 'head' matches first → decayed, lr×10 (even norms/BN)
+    assert lr["decode_head"]["decode"]["bn"]["scale"] == 10.0
+    assert wd["decode_head"]["decode"]["bn"]["scale"] is True
+    assert wd["decode_head"]["decoder_focal"]["blocks_0"]["norm1"]["scale"] is True
+    assert lr["decode_head"]["linear_pred"]["kernel"] == 10.0

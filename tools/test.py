@@ -47,7 +47,10 @@ def load_state(cfg, model, ckpt, sample, finetune, store):
         return converted["params"], converted["batch_stats"]
     init_kwargs = {}
     if finetune:
-        init_kwargs["cluster_centers"] = jnp.zeros((1, store.n_clusters, cfg.model.head.embed_dim))
+        init_kwargs["cluster_centers"] = (
+            jnp.zeros((1, store.pad_to, cfg.model.head.embed_dim)),
+            jnp.ones((1, store.pad_to), bool),
+        )
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample, **init_kwargs)
     tx = build_optimizer(variables["params"], cfg.optim)
     state = TrainState.create(variables, tx)

@@ -106,7 +106,10 @@ def main():
     sample = jnp.zeros((1, t, h, w, 3), jnp.float32)
     init_kwargs = {}
     if finetune:
-        init_kwargs["cluster_centers"] = jnp.zeros((1, store.n_clusters, cfg.model.head.embed_dim))
+        init_kwargs["cluster_centers"] = (
+            jnp.zeros((1, store.pad_to, cfg.model.head.embed_dim)),
+            jnp.ones((1, store.pad_to), bool),
+        )
     variables = jax.jit(model.init, static_argnums=())(jax.random.PRNGKey(seed), sample,
                                                        **init_kwargs)
     logger.info(

@@ -111,12 +111,23 @@ class VSPWVideoDataset:
 
     # ------------------------------------------------------------- samplers
     def sample_train_clip(self, idx: int, rng: np.random.RandomState) -> ClipSample:
-        video = self.videos[idx]
-        frames = self.frames[video]
+        # A video shorter than the dilation window cannot host a full clip;
+        # the reference returns None and the loader re-samples another video
+        # (``custom.py:2260-2262``) — do the same instead of crashing.
+        for _ in range(100):
+            video = self.videos[idx]
+            frames = self.frames[video]
+            if len(frames) + self.dilation[0] >= 1:
+                break
+            idx = rng.randint(0, len(self.videos))
+        else:
+            raise RuntimeError(
+                f"no video admits the dilation window {self.dilation} "
+                f"(all ≤ {-self.dilation[0]} frames)"
+            )
         if self.flip_video and rng.rand() < 0.5:
             frames = frames[::-1]
         tail = len(frames) + self.dilation[0]  # frames admitting full window
-        assert tail >= 1, f"video {video} shorter than dilation window"
         target = rng.randint(0, tail) - self.dilation[0]
         indices = [target + d for d in self.dilation] + [target]
         return ClipSample(video, indices, frames[target]), frames

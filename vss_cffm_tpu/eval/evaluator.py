@@ -69,7 +69,15 @@ class ClipEvaluator:
         self.mode = mode
         self.crop_size = crop_size
         self.stride = stride
-        self.confusion = jnp.zeros((num_classes, num_classes), jnp.int32)
+        # Confusion accumulates on device in int32 (cheap, psum-able) but is
+        # folded into a host int64 matrix every ``fold_every`` frames: a full
+        # VSPW val pass is ~1e10 pixels, which overflows int32 if accumulated
+        # on device for the whole run. 256 frames × ≤2.1e6 px (2MP) stays
+        # < 2^31 between folds.
+        self.fold_every = 256
+        self._confusion_dev = jnp.zeros((num_classes, num_classes), jnp.int32)
+        self._confusion_host = np.zeros((num_classes, num_classes), np.int64)
+        self._frames_since_fold = 0
         self._predict = jax.jit(self._predict_impl, static_argnames=("ori_shape",))
         self._vc_preds: dict[str, list[np.ndarray]] = defaultdict(list)
         self._vc_gts: dict[str, list[np.ndarray]] = defaultdict(list)
@@ -113,7 +121,8 @@ class ClipEvaluator:
 
         centers = None
         if self.cluster_store is not None:
-            centers = jnp.asarray(self.cluster_store(item["video"]))[None]
+            c, m = self.cluster_store(item["video"])
+            centers = (jnp.asarray(c)[None], jnp.asarray(m)[None])
 
         def logits_fn(imgs):
             return self.model.apply(
@@ -132,18 +141,38 @@ class ClipEvaluator:
     def predict(self, item: dict) -> np.ndarray:
         centers = None
         if self.cluster_store is not None:
-            centers = jnp.asarray(self.cluster_store(item["video"]))[None]
+            c, m = self.cluster_store(item["video"])
+            centers = (jnp.asarray(c)[None], jnp.asarray(m)[None])
         pred = self._predict(
             jnp.asarray(item["imgs"]), ori_shape=tuple(item["ori_shape"]),
             cluster_centers=centers,
         )
         return pred
 
+    def _accumulate(self, pred, gt: np.ndarray) -> None:
+        self._confusion_dev = update_confusion(
+            self._confusion_dev, jnp.asarray(pred), jnp.asarray(gt.astype(np.int32)),
+            self.num_classes,
+        )
+        self._frames_since_fold += 1
+        if self._frames_since_fold >= self.fold_every:
+            self._fold()
+
+    def _fold(self) -> None:
+        if self._frames_since_fold:
+            self._confusion_host += np.asarray(self._confusion_dev, dtype=np.int64)
+            self._confusion_dev = jnp.zeros_like(self._confusion_dev)
+            self._frames_since_fold = 0
+
+    @property
+    def confusion(self) -> np.ndarray:
+        """Total (C, C) confusion matrix, int64 on host (overflow-safe)."""
+        self._fold()
+        return self._confusion_host
+
     def add(self, item: dict, gt: np.ndarray, keep_for_vc: bool = False) -> np.ndarray:
         pred = self.predict_tta(item) if "views" in item else self.predict(item)
-        self.confusion = update_confusion(
-            self.confusion, pred, jnp.asarray(gt.astype(np.int32)), self.num_classes
-        )
+        self._accumulate(pred, gt)
         pred_np = np.asarray(pred)
         if keep_for_vc:
             self._vc_preds[item["video"]].append(pred_np.astype(np.uint8))
@@ -164,7 +193,7 @@ class ClipEvaluator:
         return self.confusion
 
     def summary(self, with_vc: bool = False) -> dict:
-        cm = np.asarray(self.confusion)
+        cm = np.asarray(self.confusion)  # folds device → host int64
         out = eval_metrics(cm)
         out["mIoU_seen"] = mean_iou_seen(cm)
         out["FWIoU"] = fwiou(cm)
@@ -247,15 +276,13 @@ class StreamingVideoEvaluator(ClipEvaluator):
 
             centers = None
             if self.cluster_store is not None:
-                centers = jnp.asarray(self.cluster_store(video))[None]
+                c, m = self.cluster_store(video)
+                centers = (jnp.asarray(c)[None], jnp.asarray(m)[None])
             pred = self._predict_streamed(
                 fused, imgs.shape[1:3], tuple(item["ori_shape"]), centers
             )
             gt = dataset.load_gt(idx)
-            self.confusion = update_confusion(
-                self.confusion, jnp.asarray(pred), jnp.asarray(gt.astype(np.int32)),
-                self.num_classes,
-            )
+            self._accumulate(pred, gt)
             if keep_for_vc:
                 self._vc_preds[video].append(pred.astype(np.uint8))
                 self._vc_gts[video].append(gt.astype(np.int32))

@@ -13,9 +13,11 @@ disk→GPU copy, ``cffm_head.py:435``), ``ClusterStore`` memoises centres in
 host RAM after first load.
 
 When several centre files exist for a video the reference concatenates them
-and keeps a random 80% subset (``:444-452``); we reproduce that and then
-resample/pad back to exactly ``n_clusters`` rows so batch shapes stay static
-under jit.
+and keeps a random 80% subset (``:444-452``), used *as-is* (variable count).
+We reproduce that subset and zero-pad to a store-wide static ``pad_to`` with
+a boolean validity mask — masked softmax over the valid rows is identical to
+the reference's variable-count attention, whereas resampling duplicates
+would skew attention weights. Shapes stay static under jit.
 """
 
 from __future__ import annotations
@@ -66,7 +68,13 @@ def generate_prototypes(
 
 
 class ClusterStore:
-    """Per-video centre lookup with host-RAM memoisation."""
+    """Per-video centre lookup with host-RAM memoisation.
+
+    ``__call__`` returns ``(centers, mask)``: centres zero-padded to the
+    store-wide static ``pad_to`` row count, plus a bool validity mask. For
+    the common one-file-per-video layout this is exactly (n_clusters, C)
+    with an all-true mask.
+    """
 
     def __init__(self, save_dir: str, n_clusters: int = 100, subset_ratio: float = 0.8,
                  seed: int = 0):
@@ -74,29 +82,60 @@ class ClusterStore:
         self.n_clusters = n_clusters
         self.subset_ratio = subset_ratio
         self._rng = np.random.RandomState(seed)
-        self._cache: dict[str, np.ndarray] = {}
+        self._cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._pad_to: int | None = None
 
-    def __call__(self, video: str) -> np.ndarray:  # (n_clusters, C)
-        if video in self._cache:
-            return self._cache[video]
+    @property
+    def pad_to(self) -> int:
+        """Static padded row count: max kept-centre count over all videos.
+
+        Computed once from .npy headers (mmap, no data read) so every video's
+        centres batch to one static shape.
+        """
+        if self._pad_to is None:
+            best = self.n_clusters
+            for vdir in sorted(glob.glob(os.path.join(self.save_dir, "*"))):
+                paths = sorted(glob.glob(os.path.join(vdir, "*.npy")))
+                if not paths:
+                    continue
+                rows = sum(np.load(p, mmap_mode="r").shape[0] for p in paths)
+                kept = rows if len(paths) == 1 else int(rows * self.subset_ratio)
+                best = max(best, kept)
+            self._pad_to = best
+        return self._pad_to
+
+    def _load(self, video: str) -> np.ndarray:
         single = os.path.join(self.save_dir, video, "centers.npy")
         if os.path.isfile(single):
-            centers = np.load(single)
-        else:
-            paths = sorted(glob.glob(os.path.join(self.save_dir, video, "*.npy")))
-            if not paths:
-                raise FileNotFoundError(f"no prototypes for video {video!r} in {self.save_dir}")
-            centers = np.concatenate([np.load(p) for p in paths], axis=0)
-            keep = int(centers.shape[0] * self.subset_ratio)
-            idx = self._rng.permutation(centers.shape[0])[:keep]
-            centers = centers[idx]
-        if centers.shape[0] != self.n_clusters:
-            # static-shape normalisation: sample with replacement if short
-            idx = self._rng.choice(centers.shape[0], self.n_clusters,
-                                   replace=centers.shape[0] < self.n_clusters)
-            centers = centers[idx]
-        self._cache[video] = centers.astype(np.float32)
+            return np.load(single)
+        paths = sorted(glob.glob(os.path.join(self.save_dir, video, "*.npy")))
+        if not paths:
+            raise FileNotFoundError(f"no prototypes for video {video!r} in {self.save_dir}")
+        # multiple files: concatenate + random 80% subset, used as-is
+        # (reference ``cffm_head.py:444-452``)
+        centers = np.concatenate([np.load(p) for p in paths], axis=0)
+        keep = int(centers.shape[0] * self.subset_ratio)
+        idx = self._rng.permutation(centers.shape[0])[:keep]
+        return centers[idx]
+
+    def __call__(self, video: str) -> tuple[np.ndarray, np.ndarray]:
+        """(centers (pad_to, C) float32, mask (pad_to,) bool)."""
+        if video in self._cache:
+            return self._cache[video]
+        centers = self._load(video).astype(np.float32)
+        p = self.pad_to
+        k = centers.shape[0]
+        assert k <= p, f"video {video!r} has {k} centres > pad_to {p}"
+        mask = np.zeros((p,), bool)
+        mask[:k] = True
+        if k < p:
+            centers = np.concatenate(
+                [centers, np.zeros((p - k, centers.shape[1]), np.float32)], axis=0
+            )
+        self._cache[video] = (centers, mask)
         return self._cache[video]
 
-    def batch(self, videos: list[str]) -> np.ndarray:  # (B, n_clusters, C)
-        return np.stack([self(v) for v in videos])
+    def batch(self, videos: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """((B, pad_to, C), (B, pad_to)) stacked centres + masks."""
+        pairs = [self(v) for v in videos]
+        return np.stack([p[0] for p in pairs]), np.stack([p[1] for p in pairs])

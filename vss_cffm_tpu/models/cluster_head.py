@@ -37,7 +37,9 @@ class ClusterCrossAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, centers: jnp.ndarray, mask: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
         c = self.dim
         nh = self.num_heads
         hd = c // nh
@@ -54,8 +56,12 @@ class ClusterCrossAttention(nn.Module):
         qh = q.reshape(b, n, nh, hd)
         kh = k.reshape(b, -1, nh, hd)
         vh = v.reshape(b, -1, nh, hd)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", qh * scale, kh)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", qh * scale, kh).astype(jnp.float32)
+        if mask is not None:
+            # padded (invalid) centres get zero softmax weight — identical to
+            # the reference's variable-count attention over the valid subset
+            attn = jnp.where(mask[:, None, None, :], attn, -jnp.inf)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(b, n, c)
         return nn.Dense(c, kernel_init=_dense_init, dtype=self.dtype, name="proj_cluster")(out)
 
@@ -63,9 +69,13 @@ class ClusterCrossAttention(nn.Module):
 class ClusterDecoder(nn.Module):
     """One pre-norm block: cross-attend to centres, then MLP.
 
-    Input (B, H, W, C) features and (B, n_centers, C) centres; output
-    (B, H, W, C). Both the tokens and the centres pass through the *same*
-    ``norm1`` (reference ``SwinTransformerBlock_cluster.forward:616-622``).
+    Input (B, H, W, C) features and (B, n_centers, C) centres — or a
+    ``(centers, mask)`` tuple where ``mask`` (B, n_centers) bool marks valid
+    rows (padded variable-count centre sets, reference ``cffm_head.py:444-452``
+    keeps a random 80% subset of concatenated per-video centre files; we pad
+    to a static count and mask instead of resampling). Output (B, H, W, C).
+    Both the tokens and the centres pass through the *same* ``norm1``
+    (reference ``SwinTransformerBlock_cluster.forward:616-622``).
     """
 
     dim: int
@@ -78,6 +88,9 @@ class ClusterDecoder(nn.Module):
     def __call__(
         self, x: jnp.ndarray, centers: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
+        mask = None
+        if isinstance(centers, (tuple, list)):
+            centers, mask = centers
         b, h, w, c = x.shape
         tokens = x.reshape(b, h * w, c)
         shortcut = tokens
@@ -85,7 +98,7 @@ class ClusterDecoder(nn.Module):
         tokens = norm1(tokens)
         centers = norm1(centers)
         attn = ClusterCrossAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
-            tokens, centers
+            tokens, centers, mask
         )
         tokens = shortcut + attn
         hmid = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(tokens)

@@ -85,10 +85,13 @@ def ohem_weight(
     """Online hard example mining pixel weights.
 
     TPU-native reformulation of ``OHEMPixelSampler``
-    (``mmseg/core/seg/sampler/ohem_pixel_sampler.py``): instead of boolean
-    indexing (dynamic shapes), returns a static-shape 0/1 weight map that
-    keeps pixels whose gt-class probability is below the effective threshold
-    ``max(thresh, prob_sorted[min_kept])``.
+    (``mmseg/core/seg/sampler/ohem_pixel_sampler.py:44-63``): instead of
+    boolean indexing (dynamic shapes), returns a static-shape 0/1 weight map
+    that keeps pixels whose gt-class probability is below the effective
+    threshold ``max(thresh, sorted_valid_probs[min(batch_kept, n_valid-1)])``
+    with ``batch_kept = min_kept * N`` (N = leading image count), exactly the
+    reference indexing. Invalid pixels sort to +inf so the k-th entry of the
+    full sort equals the k-th valid prob whenever ``k < n_valid``.
     """
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
@@ -96,8 +99,11 @@ def ohem_weight(
     gt_prob = jnp.take_along_axis(prob, safe[..., None], axis=-1)[..., 0]
     gt_prob = jnp.where(valid, gt_prob, jnp.inf)
     flat = jnp.sort(gt_prob.reshape(-1))
-    k = jnp.minimum(min_kept, flat.shape[0]) - 1
-    eff_thresh = jnp.maximum(flat[k], thresh)
+    batch_kept = min_kept * (labels.shape[0] if labels.ndim > 2 else 1)
+    n_valid = jnp.sum(valid)
+    k = jnp.clip(jnp.minimum(batch_kept, n_valid - 1), 0, flat.shape[0] - 1)
+    min_threshold = jnp.where(n_valid > 0, jnp.take(flat, k), 0.0)
+    eff_thresh = jnp.maximum(min_threshold, thresh)
     return (valid & (gt_prob < eff_thresh)).astype(jnp.float32)
 
 

@@ -51,6 +51,11 @@ int vss_decode_jpeg(const uint8_t* buf, int64_t len, uint8_t* out, int out_h,
                     int out_w) {
   jpeg_decompress_struct cinfo;
   JmpErrorMgr jerr;
+  // Constructed BEFORE setjmp: the longjmp from the libjpeg error handler
+  // must not cross the initialization of any non-trivially-destructible
+  // automatic object (UB + leak otherwise); declared here, the vector's
+  // destructor runs normally on the error-path return.
+  std::vector<uint8_t> row;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jmp_error_exit;
   if (setjmp(jerr.env)) {
@@ -72,7 +77,7 @@ int vss_decode_jpeg(const uint8_t* buf, int64_t len, uint8_t* out, int out_h,
     jpeg_destroy_decompress(&cinfo);
     return 2;
   }
-  std::vector<uint8_t> row(static_cast<size_t>(out_w) * 3);
+  row.resize(static_cast<size_t>(out_w) * 3);
   uint8_t* rowp = row.data();
   while (cinfo.output_scanline < cinfo.output_height) {
     int y = static_cast<int>(cinfo.output_scanline);

@@ -60,9 +60,30 @@ class CheckpointManager:
 
     def load_params(self, state_template: TrainState, step: int | None = None):
         """Warm start: params (+ batch stats) only (≙ ``--load-from``,
-        used to initialise CFFM++ finetune from a CFFM checkpoint)."""
-        restored = self.restore(state_template, step)
-        return restored.params, restored.batch_stats
+        used to initialise CFFM++ finetune from a CFFM checkpoint).
+
+        strict=False semantics (reference ``load_checkpoint(strict=False)``):
+        the checkpoint is restored without a structure template and overlaid
+        onto the freshly-initialised params — modules absent from the
+        checkpoint (e.g. the finetune head's ``decoder_swin``/``linear_pred3``)
+        keep their init values, and the checkpoint's optimizer state is
+        ignored entirely.
+        """
+        step = step if step is not None else self.latest_step()
+        raw = self._mgr.restore(step)  # pytree of dicts/arrays, no template
+
+        def merge(dst, src):
+            out = dict(dst)
+            for k, v in src.items():
+                if isinstance(v, dict) and isinstance(out.get(k), dict):
+                    out[k] = merge(out[k], v)
+                else:
+                    out[k] = v
+            return out
+
+        params = merge(state_template.params, raw["params"])
+        batch_stats = merge(state_template.batch_stats, raw.get("batch_stats") or {})
+        return params, batch_stats
 
     def metadata(self, step: int | None = None) -> dict | None:
         step = step if step is not None else self.latest_step()

@@ -70,29 +70,37 @@ def _name_of(path) -> str:
 def paramwise_multipliers(
     params, head_lr_mult: float
 ) -> tuple[Any, Any]:
-    """(lr_mult tree, wd_mask tree) following mmcv custom_keys substring rules.
+    """(lr_mult tree, wd_mask tree) following mmcv custom_keys FIRST-MATCH rules.
 
-    In our module tree the decode head lives under ``decode_head`` (↔ mmcv
-    name prefix ``decode_head``/``head``); norm parameters are LayerNorm
-    scale/bias, BatchNorm scale/bias, and all relative-position bias tables
-    are *not* norms (they keep decay in mmcv because the key is 'norm' only).
-    mmcv matches the substring 'norm' against full parameter names, which
-    catches ``norm1/norm2/...`` and BN, plus every parameter *bias* is still
-    decayed in mmcv (no bias exemption in this config) — we mirror that.
+    mmcv's ``DefaultOptimizerConstructor`` sorts ``custom_keys`` alphabetically
+    then by length descending and applies only the FIRST key whose substring
+    matches the parameter name. For the reference recipe
+    ``{'head': lr×10, 'norm': wd×0, 'pos_block': wd×0}`` the order is
+    ``[pos_block, head, norm]``, so:
+
+    - every decode-head parameter (name contains 'head') matches 'head' and
+      keeps its weight decay — including the head's LayerNorms and the
+      linear_fuse BN (the reference genuinely decays them);
+    - only *backbone* norm parameters (LayerNorm scale/bias; the SRA
+      ``attn.norm``; patch-embed norms) match 'norm' and get decay 0;
+    - 'pos_block' never matches anything in MiT (no positional blocks).
+
+    Every parameter *bias* is still decayed in mmcv (no bias exemption in
+    this config) — we mirror that.
     """
 
-    def lr_mult(path, leaf):
+    def classify(path):
         name = _name_of(path)
-        return head_lr_mult if "decode_head" in name else 1.0
+        if "pos_block" in name:  # decay_mult 0, default lr
+            return 1.0, False
+        if "head" in name:  # lr_mult, default decay (→ decayed!)
+            return head_lr_mult, True
+        if "norm" in name:  # decay_mult 0
+            return 1.0, False
+        return 1.0, True
 
-    def wd_keep(path, leaf):
-        name = _name_of(path).lower()
-        if "norm" in name or "bn" in name or "pos_block" in name:
-            return False
-        return True
-
-    lr_tree = jax.tree_util.tree_map_with_path(lr_mult, params)
-    wd_tree = jax.tree_util.tree_map_with_path(wd_keep, params)
+    lr_tree = jax.tree_util.tree_map_with_path(lambda p, _: classify(p)[0], params)
+    wd_tree = jax.tree_util.tree_map_with_path(lambda p, _: classify(p)[1], params)
     return lr_tree, wd_tree
 
 
