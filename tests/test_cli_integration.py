@@ -80,3 +80,74 @@ def test_train_then_test_cli(setup, env):
     with open(out_json) as f:
         metrics = json.load(f)
     assert "mIoU" in metrics and "FWIoU" in metrics
+
+
+FT_CONFIG = """
+import dataclasses
+import sys
+sys.path.insert(0, {work!r})
+from tiny_config import config as base_config
+from vss_cffm_tpu.train.optim import OptimConfig
+
+
+def config():
+    cfg = base_config()
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, head=dataclasses.replace(cfg.model.head, mode="finetune")),
+        optim=OptimConfig(lr=2e-4, max_iters=2, warmup_iters=0, warmup_ratio=1.0,
+                          head_lr_mult=1.0),
+        work_dir={ft_work!r},
+        cluster_dir={cluster_dir!r},
+        checkpoint_interval=2,
+    )
+"""
+
+
+def test_cffm_plusplus_two_phase_cli(setup, env):
+    """The full CFFM++ pipeline over the real CLIs (SURVEY §3.4 / VERDICT r1
+    next-round #6): CFFM train → phase A prototype generation → phase B
+    finetune warm-started from the CFFM checkpoint → eval with the blended
+    x2 + 0.5·x3 output."""
+    root, work, cfg_path = setup
+    ckpt = os.path.join(work, "ckpt")
+    if not os.path.isdir(ckpt):  # run after test_train_then_test_cli, or alone
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "train.py"), cfg_path],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+
+    cluster_dir = os.path.join(work, "centers")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "generate_prototypes.py"),
+         cfg_path, ckpt, "--cluster-dir", cluster_dir,
+         "--n-clusters", "20", "--num-frames", "4"],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.isfile(os.path.join(cluster_dir, "vid_a", "centers.npy"))
+
+    ft_work = os.path.join(work, "ft")
+    ft_cfg = os.path.join(work, "ft_config.py")
+    with open(ft_cfg, "w") as f:
+        f.write(FT_CONFIG.format(work=work, ft_work=ft_work, cluster_dir=cluster_dir))
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train.py"), ft_cfg,
+         "--load-from", ckpt],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "warm-started params from checkpoint" in (r.stdout + r.stderr)
+
+    out_json = os.path.join(work, "metrics_ft.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "test.py"), ft_cfg,
+         os.path.join(ft_work, "ckpt"), "--out", out_json],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(out_json) as f:
+        metrics = json.load(f)
+    assert "mIoU" in metrics and 0.0 <= metrics["mIoU"] <= 1.0
