@@ -92,6 +92,11 @@ def main():
     sample = jnp.zeros((1, t, *cfg.data.crop_size, 3), jnp.float32)
     params, batch_stats = load_state(cfg, model, args.checkpoint, sample, finetune, store)
 
+    # multi-process eval: each process evaluates a shard, then the (C, C)
+    # confusion matrices are summed across processes (replaces the
+    # reference's pickle gather, ``apis/test.py:107-243``)
+    proc_id, n_procs = jax.process_index(), jax.process_count()
+
     save_dir = args.show_dir if args.format_only else None
     if args.streaming:
         from vss_cffm_tpu.eval.evaluator import StreamingVideoEvaluator
@@ -100,19 +105,25 @@ def main():
                                             cfg.model.head.num_classes,
                                             cluster_store=store,
                                             max_lag=-min(cfg.data.dilation, default=0))
-        metrics = evaluator.run_streaming(dataset, keep_for_vc=args.vc, save_dir=save_dir)
+        # shard by video: keeps the feature cache local and VC well-defined
+        videos = dataset.videos[proc_id::n_procs] if n_procs > 1 else None
+        evaluator.run_streaming(dataset, keep_for_vc=args.vc, save_dir=save_dir,
+                                videos=videos)
     else:
         evaluator = ClipEvaluator(model, params, batch_stats,
                                   cfg.model.head.num_classes, cluster_store=store)
         if args.aug_test:
-            items = (dataset.get_test_item_tta(i) for i in range(len(dataset)))
+            items = (dataset.get_test_item_tta(i)
+                     for i in range(proc_id, len(dataset), n_procs))
         else:
-            items = iterate_eval(dataset, num_workers=cfg.data.num_workers)
-        metrics = evaluator.run(items, dataset=dataset, keep_for_vc=args.vc,
-                                save_dir=save_dir)
+            items = iterate_eval(dataset, num_workers=cfg.data.num_workers,
+                                 shard_id=proc_id, num_shards=n_procs)
+        evaluator.run(items, dataset=dataset, keep_for_vc=args.vc, save_dir=save_dir)
+    evaluator.aggregate_across_processes()
+    metrics = evaluator.summary(with_vc=args.vc)
     summary = {k: v for k, v in metrics.items() if np.isscalar(v) or isinstance(v, float)}
     logger.info(f"metrics: {summary}")
-    if args.out:
+    if args.out and proc_id == 0:
         with open(args.out, "w") as f:
             json.dump({k: float(v) for k, v in summary.items()}, f, indent=2)
 

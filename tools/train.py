@@ -206,17 +206,19 @@ def main():
             from vss_cffm_tpu.data import iterate_eval
             from vss_cffm_tpu.eval import ClipEvaluator
 
-            # NOTE: on multi-host runs each process reports metrics over its
-            # own frame shard; aggregate offline (or run tools/test.py).
+            # each process evaluates its frame shard; confusion matrices are
+            # then summed across processes so every rank logs global metrics
             val_ds = VSPWVideoDataset(cfg.data.data_root, "val",
                                       dilation=cfg.data.dilation,
                                       img_scale=cfg.data.img_scale)
             host_state = jax.device_get(state)
             ev = ClipEvaluator(model, host_state.params, host_state.batch_stats,
                                cfg.model.head.num_classes, cluster_store=store)
-            m = ev.run(iterate_eval(val_ds, num_workers=cfg.data.num_workers,
-                                    shard_id=proc_id, num_shards=n_procs),
-                       dataset=val_ds)
+            ev.run(iterate_eval(val_ds, num_workers=cfg.data.num_workers,
+                                shard_id=proc_id, num_shards=n_procs),
+                   dataset=val_ds)
+            ev.aggregate_across_processes()
+            m = ev.summary()
             logger.info(f"eval @ {it + 1}: mIoU {m['mIoU']:.4f} "
                         f"mIoU_seen {m['mIoU_seen']:.4f} FWIoU {m['FWIoU']:.4f}")
 

@@ -226,6 +226,7 @@ class VSPWVideoDataset:
             "ori_shape": ori_shape,
             "video": sample.video,
             "frame": sample.target_frame,
+            "index": idx,
         }
 
     def get_test_item_tta(
@@ -257,6 +258,7 @@ class VSPWVideoDataset:
             "ori_shape": ori_shape,
             "video": sample.video,
             "frame": sample.target_frame,
+            "index": idx,
         }
 
     def get_prototype_item(self, idx: int, num_frames: int = 10) -> dict:

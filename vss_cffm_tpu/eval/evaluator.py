@@ -170,6 +170,17 @@ class ClipEvaluator:
         self._fold()
         return self._confusion_host
 
+    def aggregate_across_processes(self) -> None:
+        """Sum this evaluator's confusion with every other JAX process's
+        (each process evaluated its own frame shard). Call exactly once,
+        after the local eval loop; ``summary()`` then reports global metrics
+        on every process. No-op when single-process. VC8/VC16 stay local —
+        they require whole videos per process (shard by video for VC)."""
+        from .metrics import aggregate_confusion
+
+        self._fold()
+        self._confusion_host = aggregate_confusion(self._confusion_host)
+
     def add(self, item: dict, gt: np.ndarray, keep_for_vc: bool = False) -> np.ndarray:
         pred = self.predict_tta(item) if "views" in item else self.predict(item)
         self._accumulate(pred, gt)
@@ -182,7 +193,10 @@ class ClipEvaluator:
     def run(self, items: Iterable[dict], gt_fn: Callable[[int], np.ndarray] | None = None,
             dataset=None, keep_for_vc: bool = False, save_dir: str | None = None):
         for i, item in enumerate(items):
-            gt = dataset.load_gt(i) if dataset is not None else gt_fn(i)
+            # items may be a shard of the dataset (multi-process eval), so gt
+            # lookup must use the item's own dataset index, not enumerate's
+            idx = item.get("index", i)
+            gt = dataset.load_gt(idx) if dataset is not None else gt_fn(idx)
             pred = self.add(item, gt, keep_for_vc)
             if save_dir is not None:
                 save_pred_png(pred, os.path.join(save_dir, item["video"],
@@ -254,10 +268,16 @@ class StreamingVideoEvaluator(ClipEvaluator):
         return np.asarray(jnp.argmax(logits, axis=-1)[0])  # softmax is monotone
 
     def run_streaming(self, dataset, keep_for_vc: bool = False,
-                      save_dir: str | None = None) -> dict:
+                      save_dir: str | None = None, videos=None) -> dict:
+        """``videos``: optional collection restricting eval to those videos —
+        multi-process eval shards by video (keeps the feature cache local and
+        VC well-defined per process)."""
         cache: dict[tuple[str, int], jnp.ndarray] = {}
+        wanted = None if videos is None else set(videos)
         for idx in range(len(dataset)):
             video, frame = dataset.frame_index[idx]
+            if wanted is not None and video not in wanted:
+                continue
             frames_list = dataset.frames[video]
             t = frames_list.index(frame)
             item = dataset.get_test_item(idx, normalize=not self.device_normalize)

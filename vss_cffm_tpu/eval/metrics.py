@@ -20,17 +20,52 @@ Parity with the reference metric stack
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
     "update_confusion",
     "confusion_matrix_np",
+    "aggregate_confusion",
     "eval_metrics",
     "mean_iou_seen",
     "fwiou",
     "video_consistency",
 ]
+
+
+def _split_int64(cm: np.ndarray) -> np.ndarray:
+    """(C, C) int64 → (2, C, C) int32 [hi, lo] base-2³¹ digits (non-negative
+    counts < 2⁶² by construction). TPU/JAX default to 32-bit, so cross-process
+    gathers move int32 and the exact int64 is rebuilt on host."""
+    cm = np.asarray(cm, np.int64)
+    return np.stack([(cm >> 31).astype(np.int32), (cm & ((1 << 31) - 1)).astype(np.int32)])
+
+
+def _merge_int64(parts: np.ndarray) -> np.ndarray:
+    """(..., 2, C, C) int32 → summed (C, C) int64 over all leading axes."""
+    parts = np.asarray(parts, np.int64)
+    hi, lo = parts[..., 0, :, :], parts[..., 1, :, :]
+    total = (hi << 31) + lo
+    return total.reshape((-1,) + total.shape[-2:]).sum(0)
+
+
+def aggregate_confusion(cm: np.ndarray) -> np.ndarray:
+    """Sum local (C, C) confusion matrices across JAX processes.
+
+    Replaces the reference's pickle-gather of raw per-frame masks
+    (``apis/test.py:107-243``): each process evaluates its frame shard into a
+    local matrix; one tiny all-gather of the (2, C, C) int32 digit split over
+    ICI/DCN yields identical global metrics on every process. Identity when
+    single-process.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(cm, np.int64)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(_split_int64(cm))  # (P, 2, C, C)
+    return _merge_int64(np.asarray(gathered))
 
 
 def update_confusion(
