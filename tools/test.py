@@ -74,7 +74,14 @@ def main():
                     help="multi-scale (0.5..1.75) + flip TTA (reference --aug-test)")
     ap.add_argument("--format-only", action="store_true")
     ap.add_argument("--show-dir", default="result_submission")
-    ap.add_argument("--out", help="dump metrics JSON here")
+    ap.add_argument("--out", help="dump metrics JSON (.json) or raw per-frame "
+                                  "masks pickle (.pkl, ≙ reference --out res.pkl)")
+    ap.add_argument("--efficient-test", action="store_true",
+                    help="with --out *.pkl: spill each mask to <out>_masks/*.npy "
+                         "and pickle the paths (reference efficient_test)")
+    ap.add_argument("--host-normalize", action="store_true",
+                    help="normalize images on the host instead of on device "
+                         "(device normalization is bit-identical and 4x less H2D)")
     ap.add_argument("--options", nargs="*", default=[])
     args = ap.parse_args()
 
@@ -96,6 +103,26 @@ def main():
     # confusion matrices are summed across processes (replaces the
     # reference's pickle gather, ``apis/test.py:107-243``)
     proc_id, n_procs = jax.process_index(), jax.process_count()
+    normalize = args.host_normalize  # default: uint8 H2D + device normalize
+
+    # raw per-frame mask dump (reference ``--out res.pkl``): collected in
+    # dataset order; with --efficient-test masks spill to .npy files and the
+    # pickle holds their paths (reference ``np2tmp``, ``apis/test.py:15-33``)
+    dump_preds = bool(args.out) and args.out.endswith(".pkl")
+    preds: dict[int, object] = {}
+    on_pred = None
+    if dump_preds:
+        mask_dir = args.out[: -len(".pkl")] + "_masks"
+        if args.efficient_test:
+            os.makedirs(mask_dir, exist_ok=True)
+
+        def on_pred(item, pred):
+            if args.efficient_test:
+                path = os.path.join(mask_dir, f"{item['index']:08d}.npy")
+                np.save(path, pred.astype(np.uint8))
+                preds[item["index"]] = path
+            else:
+                preds[item["index"]] = pred.astype(np.uint8)
 
     save_dir = args.show_dir if args.format_only else None
     if args.streaming:
@@ -104,28 +131,39 @@ def main():
         evaluator = StreamingVideoEvaluator(model, params, batch_stats,
                                             cfg.model.head.num_classes,
                                             cluster_store=store,
-                                            max_lag=-min(cfg.data.dilation, default=0))
+                                            max_lag=-min(cfg.data.dilation, default=0),
+                                            device_normalize=not normalize)
         # shard by video: keeps the feature cache local and VC well-defined
         videos = dataset.videos[proc_id::n_procs] if n_procs > 1 else None
         evaluator.run_streaming(dataset, keep_for_vc=args.vc, save_dir=save_dir,
-                                videos=videos)
+                                videos=videos, on_pred=on_pred)
     else:
+        from vss_cffm_tpu.data import iterate_eval_tta
+
         evaluator = ClipEvaluator(model, params, batch_stats,
                                   cfg.model.head.num_classes, cluster_store=store)
-        if args.aug_test:
-            items = (dataset.get_test_item_tta(i)
-                     for i in range(proc_id, len(dataset), n_procs))
-        else:
-            items = iterate_eval(dataset, num_workers=cfg.data.num_workers,
-                                 shard_id=proc_id, num_shards=n_procs)
-        evaluator.run(items, dataset=dataset, keep_for_vc=args.vc, save_dir=save_dir)
+        iterate = iterate_eval_tta if args.aug_test else iterate_eval
+        items = iterate(dataset, num_workers=cfg.data.num_workers,
+                        shard_id=proc_id, num_shards=n_procs, normalize=normalize)
+        evaluator.run(items, dataset=dataset, keep_for_vc=args.vc, save_dir=save_dir,
+                      on_pred=on_pred)
     evaluator.aggregate_across_processes()
     metrics = evaluator.summary(with_vc=args.vc)
     summary = {k: v for k, v in metrics.items() if np.isscalar(v) or isinstance(v, float)}
     logger.info(f"metrics: {summary}")
-    if args.out and proc_id == 0:
-        with open(args.out, "w") as f:
-            json.dump({k: float(v) for k, v in summary.items()}, f, indent=2)
+    if args.out:
+        if dump_preds:
+            import pickle
+
+            # per-process shard file on multi-host runs (each process only
+            # holds its shard's masks); exact name when single-process
+            path = args.out if n_procs == 1 else f"{args.out}.rank{proc_id}"
+            with open(path, "wb") as f:
+                pickle.dump([preds[k] for k in sorted(preds)], f)
+            logger.info(f"dumped {len(preds)} raw masks to {path}")
+        elif proc_id == 0:
+            with open(args.out, "w") as f:
+                json.dump({k: float(v) for k, v in summary.items()}, f, indent=2)
 
 
 if __name__ == "__main__":

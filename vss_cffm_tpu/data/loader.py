@@ -24,7 +24,7 @@ import numpy as np
 
 from .vspw import VSPWVideoDataset
 
-__all__ = ["TrainLoader", "iterate_eval"]
+__all__ = ["TrainLoader", "iterate_eval", "iterate_eval_tta", "prefetch_map"]
 
 
 def _sample_rng(seed: int, epoch: int, index: int) -> np.random.RandomState:
@@ -118,24 +118,54 @@ class TrainLoader:
             stop.set()
 
 
+def prefetch_map(fn, indices, num_workers: int = 4, prefetch: int = 8) -> Iterator:
+    """Yield ``fn(i)`` for each index, keeping ``prefetch`` results in flight
+    on a thread pool (order-preserving)."""
+    indices = list(indices)
+    with ThreadPoolExecutor(num_workers) as pool:
+        pending = []
+        it = iter(indices)
+        for _ in range(min(prefetch, len(indices))):
+            pending.append(pool.submit(fn, next(it)))
+        while pending:
+            item = pending.pop(0).result()
+            try:
+                pending.append(pool.submit(fn, next(it)))
+            except StopIteration:
+                pass
+            yield item
+
+
 def iterate_eval(
     dataset: VSPWVideoDataset,
     num_workers: int = 4,
     prefetch: int = 8,
     shard_id: int = 0,
     num_shards: int = 1,
+    normalize: bool = True,
 ) -> Iterator[dict]:
-    """Sequential eval items (one clip per frame), prefetched."""
-    indices = list(range(shard_id, len(dataset), num_shards))
-    with ThreadPoolExecutor(num_workers) as pool:
-        pending = []
-        it = iter(indices)
-        for _ in range(min(prefetch, len(indices))):
-            pending.append(pool.submit(dataset.get_test_item, next(it)))
-        while pending:
-            item = pending.pop(0).result()
-            try:
-                pending.append(pool.submit(dataset.get_test_item, next(it)))
-            except StopIteration:
-                pass
-            yield item
+    """Sequential eval items (one clip per frame), prefetched.
+
+    ``normalize=False`` keeps frames uint8 BGR for device-side normalization
+    (4× smaller H2D; the evaluator normalizes inside jit, bit-identically)."""
+    return prefetch_map(
+        lambda i: dataset.get_test_item(i, normalize=normalize),
+        range(shard_id, len(dataset), num_shards),
+        num_workers, prefetch,
+    )
+
+
+def iterate_eval_tta(
+    dataset: VSPWVideoDataset,
+    num_workers: int = 4,
+    prefetch: int = 4,
+    shard_id: int = 0,
+    num_shards: int = 1,
+    normalize: bool = True,
+) -> Iterator[dict]:
+    """Prefetched multi-scale/flip TTA eval items (``--aug-test``)."""
+    return prefetch_map(
+        lambda i: dataset.get_test_item_tta(i, normalize=normalize),
+        range(shard_id, len(dataset), num_shards),
+        num_workers, prefetch,
+    )

@@ -234,6 +234,7 @@ class VSPWVideoDataset:
         idx: int,
         ratios: Sequence[float] = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75),
         flip: bool = True,
+        normalize: bool = True,
     ) -> dict:
         """Multi-scale(+flip) eval views (``MultiScaleFlipAug`` ≙
         ``tools/test.py --aug-test``, reference ``test_time_aug.py:10-133``):
@@ -246,7 +247,10 @@ class VSPWVideoDataset:
         for r in ratios:
             scale = (int(self.img_scale[0] * r), int(self.img_scale[1] * r))
             scaled, _ = T.aligned_resize_clip(imgs, None, scale)
-            arr = np.stack(T.normalize_clip(scaled)).astype(np.float32)
+            if normalize:
+                arr = np.stack(T.normalize_clip(scaled)).astype(np.float32)
+            else:
+                arr = np.stack(scaled)  # uint8 BGR, normalized on device
             views.append(arr)
             flips.append(False)
             if flip:  # flip applied device-side by tta_inference

@@ -125,6 +125,10 @@ class ClipEvaluator:
             centers = (jnp.asarray(c)[None], jnp.asarray(m)[None])
 
         def logits_fn(imgs):
+            if imgs.dtype == jnp.uint8:  # device-side normalization path
+                from ..train.step import device_normalize
+
+                imgs = device_normalize(imgs)
             return self.model.apply(
                 {"params": self.params, "batch_stats": self.batch_stats},
                 imgs, False, centers,
@@ -191,13 +195,18 @@ class ClipEvaluator:
         return pred_np
 
     def run(self, items: Iterable[dict], gt_fn: Callable[[int], np.ndarray] | None = None,
-            dataset=None, keep_for_vc: bool = False, save_dir: str | None = None):
+            dataset=None, keep_for_vc: bool = False, save_dir: str | None = None,
+            on_pred: Callable[[dict, np.ndarray], None] | None = None):
+        """``on_pred(item, pred)`` is called per frame (e.g. raw-result dump,
+        ≙ the reference's ``--out res.pkl`` mask collection)."""
         for i, item in enumerate(items):
             # items may be a shard of the dataset (multi-process eval), so gt
             # lookup must use the item's own dataset index, not enumerate's
             idx = item.get("index", i)
             gt = dataset.load_gt(idx) if dataset is not None else gt_fn(idx)
             pred = self.add(item, gt, keep_for_vc)
+            if on_pred is not None:
+                on_pred(item, pred)
             if save_dir is not None:
                 save_pred_png(pred, os.path.join(save_dir, item["video"],
                                                  item["frame"].rsplit(".", 1)[0] + ".png"))
@@ -268,7 +277,8 @@ class StreamingVideoEvaluator(ClipEvaluator):
         return np.asarray(jnp.argmax(logits, axis=-1)[0])  # softmax is monotone
 
     def run_streaming(self, dataset, keep_for_vc: bool = False,
-                      save_dir: str | None = None, videos=None) -> dict:
+                      save_dir: str | None = None, videos=None,
+                      on_pred: Callable[[dict, np.ndarray], None] | None = None) -> dict:
         """``videos``: optional collection restricting eval to those videos —
         multi-process eval shards by video (keeps the feature cache local and
         VC well-defined per process)."""
@@ -303,6 +313,8 @@ class StreamingVideoEvaluator(ClipEvaluator):
             )
             gt = dataset.load_gt(idx)
             self._accumulate(pred, gt)
+            if on_pred is not None:
+                on_pred({"video": video, "frame": frame, "index": idx}, pred)
             if keep_for_vc:
                 self._vc_preds[video].append(pred.astype(np.uint8))
                 self._vc_gts[video].append(gt.astype(np.int32))
