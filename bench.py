@@ -22,6 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from vss_cffm_tpu.models import CFFMSegmentor, build_model_config
+from vss_cffm_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 BASELINE_FPS = 60.0
 

@@ -21,6 +21,7 @@ import numpy as np
 
 from vss_cffm_tpu.config import apply_overrides, load_config
 from vss_cffm_tpu.models import CFFMSegmentor
+from vss_cffm_tpu.utils import enable_compilation_cache
 
 
 def benchmark_model(cfg, shape=(480, 864), iters=200, warmup=5, train_clip=4, batch=1):
@@ -37,6 +38,7 @@ def benchmark_model(cfg, shape=(480, 864), iters=200, warmup=5, train_clip=4, ba
 
 
 def main():
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
     ap.add_argument("--shape", type=int, nargs=2, default=[480, 864])

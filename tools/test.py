@@ -35,7 +35,7 @@ from vss_cffm_tpu.data import VSPWVideoDataset, iterate_eval
 from vss_cffm_tpu.eval import ClipEvaluator, ClusterStore
 from vss_cffm_tpu.models.segmentor import build_segmentor
 from vss_cffm_tpu.train import CheckpointManager, TrainState, build_optimizer
-from vss_cffm_tpu.utils import get_logger
+from vss_cffm_tpu.utils import enable_compilation_cache, get_logger
 
 
 def load_state(cfg, model, ckpt, sample, finetune, store):
@@ -60,6 +60,7 @@ def load_state(cfg, model, ckpt, sample, finetune, store):
 
 
 def main():
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
     ap.add_argument("checkpoint")

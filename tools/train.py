@@ -43,7 +43,7 @@ from vss_cffm_tpu.train import (
     make_train_step,
     poly_schedule,
 )
-from vss_cffm_tpu.utils import get_logger
+from vss_cffm_tpu.utils import enable_compilation_cache, get_logger
 
 
 def count_params(tree) -> int:
@@ -51,6 +51,7 @@ def count_params(tree) -> int:
 
 
 def main():
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
     ap.add_argument("--work-dir")

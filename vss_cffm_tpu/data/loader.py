@@ -54,7 +54,8 @@ class TrainLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
-        self.num_workers = num_workers
+        # 0 workers means "no parallelism", not "no pool": clamp to one thread
+        self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -79,9 +80,11 @@ class TrainLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                pending = []
-                try:
+            # the try must cover pool construction too: an uncaught producer
+            # exception would leave the consumer blocked on the queue forever
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    pending = []
                     while not stop.is_set():
                         while len(pending) < self.batch_size * 2:
                             epoch, idx = next(stream)
@@ -103,8 +106,8 @@ class TrainLoader:
                                 break
                             except queue.Full:
                                 continue
-                except Exception as e:  # surface worker errors to the consumer
-                    out_q.put(e)
+            except Exception as e:  # surface worker errors to the consumer
+                out_q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

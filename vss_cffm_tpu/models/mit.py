@@ -28,6 +28,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.dwconv import dwconv3x3
+
 __all__ = ["MiTConfig", "MiT", "MIT_VARIANTS"]
 
 # Parameter init matching the reference: truncated-normal(0.02) for dense
@@ -78,6 +80,8 @@ class MiTConfig:
     patch_sizes: tuple[int, ...] = (7, 3, 3, 3)
     patch_strides: tuple[int, ...] = (4, 2, 2, 2)
     norm_eps: float = 1e-6  # block/stage norms (reference ``:378`` partial eps)
+    # dwconv implementation: None = auto (Pallas on TPU, XLA elsewhere)
+    dwconv_impl: str | None = None
 
 
 # Reference variant table (``mix_transformer.py:373-424``).
@@ -168,27 +172,45 @@ class SRAttention(nn.Module):
         return out
 
 
+class DWConv3x3(nn.Module):
+    """3×3 depthwise conv with optionally fused exact GELU.
+
+    Parameter layout matches ``nn.Conv`` (kernel (3,3,1,C) + bias) so
+    checkpoints are interchangeable; the compute routes through
+    ``ops.dwconv.dwconv3x3`` which picks the Pallas kernel on TPU (one HBM
+    read/write, bias+GELU in-register) or the XLA conv elsewhere.
+    """
+
+    dim: int
+    gelu: bool = False
+    impl: str | None = None  # None=auto | 'pallas' | 'xla'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        kernel = self.param("kernel", _dwconv_fanout_init, (3, 3, 1, self.dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return dwconv3x3(
+            x.astype(self.dtype), kernel, bias, gelu=self.gelu, force=self.impl,
+            train=not deterministic,
+        )
+
+
 class MixFFN(nn.Module):
     """Dense → 3×3 depthwise conv → GELU → Dense (reference ``Mlp``/``DWConv``)."""
 
     dim: int
     hidden_dim: int
     drop: float = 0.0
+    dwconv_impl: str | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         x = nn.Dense(self.hidden_dim, kernel_init=_dense_init, dtype=self.dtype, name="fc1")(x)
-        x = nn.Conv(
-            self.hidden_dim,
-            (3, 3),
-            padding=[(1, 1), (1, 1)],
-            feature_group_count=self.hidden_dim,
-            kernel_init=_dwconv_fanout_init,
-            dtype=self.dtype,
-            name="dwconv",
-        )(x)
-        x = nn.gelu(x, approximate=False)  # torch nn.GELU is exact-erf
+        # dwconv + exact-erf GELU (torch nn.GELU), fused into one kernel pass
+        x = DWConv3x3(self.hidden_dim, gelu=True, impl=self.dwconv_impl,
+                      dtype=self.dtype, name="dwconv")(x, deterministic)
         if self.drop > 0.0:
             x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(self.dim, kernel_init=_dense_init, dtype=self.dtype, name="fc2")(x)
@@ -209,6 +231,7 @@ class MiTBlock(nn.Module):
     attn_drop: float
     drop_path_rate: float
     norm_eps: float
+    dwconv_impl: str | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -229,7 +252,8 @@ class MiTBlock(nn.Module):
             h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("droppath"))
         x = x + h
         h = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
-        h = MixFFN(self.dim, int(self.dim * self.mlp_ratio), self.drop, self.dtype, name="mlp")(h, deterministic)
+        h = MixFFN(self.dim, int(self.dim * self.mlp_ratio), self.drop,
+                   self.dwconv_impl, self.dtype, name="mlp")(h, deterministic)
         if not deterministic and self.drop_path_rate > 0.0:
             h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("droppath"))
         return x + h
@@ -268,6 +292,7 @@ class MiT(nn.Module):
                     attn_drop=cfg.attn_drop_rate,
                     drop_path_rate=dpr[cur + i],
                     norm_eps=cfg.norm_eps,
+                    dwconv_impl=cfg.dwconv_impl,
                     dtype=self.dtype,
                     name=f"block{s + 1}_{i}",
                 )(x, deterministic)

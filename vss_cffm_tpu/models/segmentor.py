@@ -39,10 +39,13 @@ class SegmentorConfig:
     backbone: str = "mit_b1"
     head: CFFMHeadConfig = dataclasses.field(default_factory=CFFMHeadConfig)
     arch: str = "cffm"  # "cffm" (clip) | "image" (single-frame SegFormer)
+    # backbone dwconv implementation override: None = auto (Pallas on TPU)
+    dwconv_impl: str | None = None
 
     @property
     def backbone_config(self) -> MiTConfig:
-        return MIT_VARIANTS[self.backbone]
+        return dataclasses.replace(MIT_VARIANTS[self.backbone],
+                                   dwconv_impl=self.dwconv_impl)
 
 
 def build_segmentor(config: "SegmentorConfig", dtype=jnp.float32):

@@ -1,26 +1,38 @@
 """Fused CFM window attention — Pallas TPU kernel.
 
-Fuses the score concatenation + bias/mask add + f32 softmax + per-group AV
-of the CFM attention (see ``models/cffm_transformer.CFFMWindowAttention``)
-into one VMEM-resident pass per window tile. Under XLA these steps write the
-(B, nW, nh, 49, N) score tensor to HBM in bf16, re-read it for the f32
-softmax, and write/read the f32 probabilities again (~80 MB per CFFM block
-at 480² eval); here scores never leave VMEM.
+Fuses the score assembly + bias/mask add + f32 softmax + AV of the CFM
+attention (see ``models/cffm_transformer.CFFMWindowAttention``) into one
+VMEM-resident pass per (head, window-tile). Under XLA these steps
+materialize the (nW, nh, 49, N) scores in f32 plus four head-split
+transposes of Q/K/V/out per block (~0.5 ms of a ~5 ms CFFM-B1 forward);
+here scores never leave VMEM and the only HBM passes are one read of
+Q/K/V and one write of the output.
 
-The K/V *assembly* (window partition, rolls, patch extraction) stays in XLA
-— those are structured reshapes/convolutions the compiler already lowers
-well; the kernel takes the per-group K/V tensors as separate inputs.
+Head-major design (this is what makes it beat XLA at head_dim 32, where a
+head-batched in-kernel reshape/transpose is a Mosaic relayout): the wrapper
+pre-transposes Q/K/V to head-major layouts *once* in XLA — cheap bf16
+copies — and the kernel grid is (heads, window-tiles), so each program
+works on plain 2-D (window, source) tiles with zero in-kernel relayout:
+
+  q  (nh, nW, 49, hd)   k^T (nh, nW, hd, N)   v (nh, nW, N, hd)
+
+The K/V *assembly* (window partition, rolls, patch extraction) stays in
+XLA — those are structured reshapes/convolutions the compiler already
+lowers well; the kernel takes the concatenated K/V.
 
 API::
 
-    out = cfm_attention(q, ks, vs, bias, mask)     # all NHWC-free, window-major
+    out = cfm_attention(q, ks, vs, bias, mask, nh)   # window-major
       q    (nW, 49, nh*hd)
       ks   list of (nW, n_g, nh*hd)
       vs   list of (nW, n_g, nh*hd)
       bias (nh, 49, N)   N = Σ n_g
       mask (nW, N)       additive 0 / −100
 
-Falls back to the XLA formulation off-TPU.
+Differentiable: the Pallas forward carries a ``jax.custom_vjp`` whose
+backward is the VJP of the (mathematically identical) XLA formulation, so
+the same code path serves training. Falls back to the XLA formulation
+off-TPU.
 """
 
 from __future__ import annotations
@@ -35,110 +47,71 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["cfm_attention"]
 
 
-def _kernel(q_ref, *refs, num_groups: int, nh: int, hd: int, tw: int, gsizes):
-    k_refs = refs[:num_groups]
-    v_refs = refs[num_groups : 2 * num_groups]
-    bias_ref, mask_ref, o_ref = refs[2 * num_groups : 2 * num_groups + 3]
-
-    area = q_ref.shape[1]
-    n_total = sum(gsizes)
-    q = q_ref[:]  # (tw, 49, nh*hd)
-    bias = bias_ref[:]  # (nh, 49, N) f32
-    mask = mask_ref[:]  # (tw, N) f32
-
-    scale = hd**-0.5
-    # fold (tw, nh) into one batch dim — Mosaic matmul supports one batch dim
-    qh = (q.reshape(tw, area, nh, hd).transpose(0, 2, 1, 3) * scale).reshape(
-        tw * nh, area, hd
-    )
-
-    # scores per group, concatenated in-register
-    parts = []
-    for g in range(num_groups):
-        kg = k_refs[g][:]  # (tw, n_g, nh*hd)
-        khg = kg.reshape(tw, gsizes[g], nh, hd).transpose(0, 2, 1, 3).reshape(
-            tw * nh, gsizes[g], hd
-        )
-        parts.append(
-            jax.lax.dot_general(
-                qh, khg,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-        )  # (tw*nh, 49, n_g)
-    scores = jnp.concatenate(parts, axis=-1).reshape(tw, nh, area, n_total)
-    scores = scores + bias[None]
-    scores = scores + mask[:, None, None, :]
-
-    # numerically-stable softmax in f32, entirely in VMEM
+def _kernel(q_ref, kt_ref, v_ref, bias_ref, mask_ref, o_ref):
+    """One program = one (head, tile of tw windows)."""
+    q = q_ref[0]  # (tw, 49, hd) bf16, pre-scaled
+    kt = kt_ref[0]  # (tw, hd, N)
+    scores = jax.lax.dot_general(
+        q, kt,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (tw, 49, N) f32
+    scores = scores + bias_ref[0][None]
+    scores = scores + mask_ref[...][:, None, :]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    p = (e / jnp.sum(e, axis=-1, keepdims=True)).reshape(tw * nh, area, n_total)
-
-    out = jnp.zeros((tw * nh, area, hd), jnp.float32)
-    off = 0
-    for g in range(num_groups):
-        vg = v_refs[g][:]
-        vhg = vg.reshape(tw, gsizes[g], nh, hd).transpose(0, 2, 1, 3).reshape(
-            tw * nh, gsizes[g], hd
-        )
-        pg = p[..., off : off + gsizes[g]].astype(vhg.dtype)
-        out = out + jax.lax.dot_general(
-            pg, vhg,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        off += gsizes[g]
-
-    out = out.reshape(tw, nh, area, hd).transpose(0, 2, 1, 3).reshape(tw, area, nh * hd)
-    o_ref[:] = out.astype(o_ref.dtype)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    v = v_ref[0]  # (tw, N, hd)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (tw, 49, hd)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("nh", "interpret"))
-def _cfm_attention_pallas(q, ks, vs, bias, mask, nh: int, interpret: bool = False):
+def _cfm_attention_pallas_impl(q, ks, vs, bias, mask, nh: int, interpret: bool = False):
     n_w0, area, c = q.shape
     hd = c // nh
-    gsizes = tuple(int(k.shape[1]) for k in ks)
-    num_groups = len(ks)
-    # Mosaic wants the sublane dim of 2-D blocks 8-aligned: pad the window
-    # axis to a multiple of the tile (padded windows attend to zeros with a
-    # zero mask — harmless — and are cropped after).
+    scale = hd**-0.5
+
     tw = 8
     n_w = -(-n_w0 // tw) * tw
+    k_all = jnp.concatenate(ks, axis=1)
+    v_all = jnp.concatenate(vs, axis=1)
+    n_total = k_all.shape[1]
     if n_w != n_w0:
         pad = [(0, n_w - n_w0)]
         q = jnp.pad(q, pad + [(0, 0), (0, 0)])
-        ks = tuple(jnp.pad(k, pad + [(0, 0), (0, 0)]) for k in ks)
-        vs = tuple(jnp.pad(v, pad + [(0, 0), (0, 0)]) for v in vs)
+        k_all = jnp.pad(k_all, pad + [(0, 0), (0, 0)])
+        v_all = jnp.pad(v_all, pad + [(0, 0), (0, 0)])
         mask = jnp.pad(mask, pad + [(0, 0)])
 
-    grid = (n_w // tw,)
-    in_specs = [pl.BlockSpec((tw, area, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
-    for g in gsizes:
-        in_specs.append(
-            pl.BlockSpec((tw, g, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        )
-    for g in gsizes:
-        in_specs.append(
-            pl.BlockSpec((tw, g, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        )
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # bias (broadcast)
-    n_total = sum(gsizes)
-    in_specs.append(
-        pl.BlockSpec((tw, n_total), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    )
+    # head-major layouts (single cheap bf16 transposes in XLA)
+    qh = (q * scale).reshape(n_w, area, nh, hd).transpose(2, 0, 1, 3)
+    kt = k_all.reshape(n_w, n_total, nh, hd).transpose(2, 0, 3, 1)  # (nh,nW,hd,N)
+    vh = v_all.reshape(n_w, n_total, nh, hd).transpose(2, 0, 1, 3)  # (nh,nW,N,hd)
 
+    grid = (nh, n_w // tw)  # window-tile minor: bias/q re-fetch only per head
     out = pl.pallas_call(
-        functools.partial(
-            _kernel, num_groups=num_groups, nh=nh, hd=hd, tw=tw, gsizes=gsizes
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_w, area, c), q.dtype),
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((nh, n_w, area, hd), q.dtype),
         grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tw, area, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        in_specs=[
+            pl.BlockSpec((1, tw, area, hd), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tw, hd, n_total), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tw, n_total, hd), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, area, n_total), lambda h, i: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tw, n_total), lambda h, i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tw, area, hd), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM
+        ),
         interpret=interpret,
-    )(q, *ks, *vs, bias.astype(jnp.float32), mask.astype(jnp.float32))
-    return out[:n_w0]
+    )(qh, kt, vh, bias.astype(jnp.float32), mask.astype(jnp.float32))
+    # (nh, nW, 49, hd) -> (nW, 49, C)
+    return out.transpose(1, 2, 0, 3).reshape(n_w, area, c)[:n_w0]
 
 
 def _cfm_attention_xla(q, ks, vs, bias, mask, nh: int):
@@ -182,18 +155,36 @@ def _cfm_attention_xla(q, ks, vs, bias, mask, nh: int):
     return out.transpose(0, 2, 1, 3).reshape(n_w, area, c)
 
 
-def cfm_attention(q, ks, vs, bias, mask, nh: int, force: str | None = None):
-    """force: None (XLA default) | 'pallas' | 'xla' | 'interpret'.
+# --- differentiable Pallas wrapper: XLA-formulation VJP ---------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _cfm_attention_pallas(q, ks, vs, bias, mask, nh: int):
+    return _cfm_attention_pallas_impl(q, tuple(ks), tuple(vs), bias, mask, nh)
 
-    Default is the XLA formulation: with head_dim 32 (256 dim / 8 heads) the
-    per-head matmuls occupy only a quarter of the 128-lane registers and
-    Mosaic cannot relayout the head split in-kernel, so the hand-fused
-    kernel cannot beat XLA's head-batched einsums on this geometry. The
-    Pallas path is kept as an experimental option (and a correctness-tested
-    reference for future geometries with head_dim ≥ 128).
-    """
+
+def _cfm_fwd(q, ks, vs, bias, mask, nh: int):
+    return _cfm_attention_pallas(q, ks, vs, bias, mask, nh), (q, ks, vs, bias, mask)
+
+
+def _cfm_bwd(nh: int, res, g):
+    q, ks, vs, bias, mask = res
+    # exact-softmax attention: the XLA formulation computes the same function,
+    # so its VJP is the correct gradient for the kernel's output
+    _, vjp = jax.vjp(lambda *a: _cfm_attention_xla(*a, nh), q, ks, vs, bias, mask)
+    return vjp(g)
+
+
+_cfm_attention_pallas.defvjp(_cfm_fwd, _cfm_bwd)
+
+
+def cfm_attention(q, ks, vs, bias, mask, nh: int, force: str | None = None):
+    """force: None (auto: Pallas on TPU, XLA elsewhere) | 'pallas' | 'xla' | 'interpret'."""
     if force == "interpret":
-        return _cfm_attention_pallas(q, tuple(ks), tuple(vs), bias, mask, nh, interpret=True)
+        return _cfm_attention_pallas_impl(q, tuple(ks), tuple(vs), bias, mask, nh, interpret=True)
     if force == "pallas":
+        return _cfm_attention_pallas(q, tuple(ks), tuple(vs), bias, mask, nh)
+    if force == "xla":
+        return _cfm_attention_xla(q, ks, vs, bias, mask, nh)
+    platform = jax.devices()[0].platform
+    if platform in ("tpu", "axon"):
         return _cfm_attention_pallas(q, tuple(ks), tuple(vs), bias, mask, nh)
     return _cfm_attention_xla(q, ks, vs, bias, mask, nh)

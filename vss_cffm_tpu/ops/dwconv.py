@@ -129,6 +129,27 @@ def _dwconv3x3_pallas(x, kernel, bias, gelu: bool = False, interpret: bool = Fal
     )(xp, wk, bb)
 
 
+def _dwconv3x3_shifts(x, kernel, bias, gelu: bool = False):
+    """dwconv as 9 shifted multiply-adds — one XLA loop fusion, no conv emitter.
+
+    Lets XLA fuse the whole op (taps + bias + GELU) into a single elementwise
+    pass over NHWC data in whatever layout the producers already use,
+    avoiding the conv emitter's layout round-trips.
+    """
+    b, h, w, c = x.shape
+    k = kernel.reshape(3, 3, c).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for di in range(3):
+        for dj in range(3):
+            term = xp[:, di : di + h, dj : dj + w, :] * k[di, dj]
+            acc = term if acc is None else acc + term
+    acc = acc + bias.astype(acc.dtype)
+    if gelu:
+        acc = jax.nn.gelu(acc, approximate=False)
+    return acc
+
+
 def _dwconv3x3_xla(x, kernel, bias, gelu: bool = False):
     c = x.shape[-1]
     out = jax.lax.conv_general_dilated(
@@ -145,13 +166,27 @@ def _dwconv3x3_xla(x, kernel, bias, gelu: bool = False):
     return out
 
 
-def dwconv3x3(x, kernel, bias, gelu: bool = False, force: str | None = None):
-    """force: None (auto by backend) | 'pallas' | 'xla' | 'interpret'."""
+def dwconv3x3(x, kernel, bias, gelu: bool = False, force: str | None = None,
+              train: bool = False):
+    """force: None (auto) | 'pallas' | 'xla' | 'shifts' | 'interpret'.
+
+    Auto policy (measured on v5e at CFFM-B1 geometry): inference on TPU uses
+    the 'shifts' formulation — one XLA loop fusion, ~1.8× faster than the
+    conv emitter in-model (which picks hostile layouts and splits off the
+    GELU) and faster end-to-end than the Pallas kernel (whose pallas_call
+    boundaries force layout copies). Training uses the plain conv: the
+    'shifts' fwd+bwd graph compiles pathologically slowly (minutes) for a
+    ~2% step-time win, and the Pallas kernel has no VJP.
+    """
     if force == "interpret":
         return _dwconv3x3_pallas(x, kernel, bias, gelu, interpret=True)
     if force == "xla":
         return _dwconv3x3_xla(x, kernel, bias, gelu)
-    platform = jax.devices()[0].platform
-    if force == "pallas" or platform in ("tpu", "axon"):
+    if force == "shifts":
+        return _dwconv3x3_shifts(x, kernel, bias, gelu)
+    if force == "pallas":
         return _dwconv3x3_pallas(x, kernel, bias, gelu)
+    platform = jax.devices()[0].platform
+    if platform in ("tpu", "axon") and not train:
+        return _dwconv3x3_shifts(x, kernel, bias, gelu)
     return _dwconv3x3_xla(x, kernel, bias, gelu)
