@@ -342,15 +342,12 @@ def _rolled_valid_subset(ws: int, expand: int) -> np.ndarray:
     return np.concatenate(out)
 
 
-def _unfold_patches(x: jnp.ndarray, kernel: int, stride: int, pad: int,
-                    valid_keep: int = 0) -> jnp.ndarray:
-    """nn.Unfold ≙ im2col via ``conv_general_dilated_patches`` (lowers to a
-    native TPU patch-extraction, not a serialized gather).
+def _kept_entries(kernel: int, valid_keep: int) -> list[tuple[int, int]]:
+    return [(di, dj) for di in range(kernel) for dj in range(kernel)
+            if not (valid_keep > 0 and (di < valid_keep or dj < valid_keep))]
 
-    x (B, H, W, C) -> (B, nOut, n_entries, C) with entries in (di, dj)
-    row-major order, matching ``_unfold_index`` and the reference's
-    ``nn.Unfold`` layout.
-    """
+
+def _unfold_conv(x, kernel: int, stride: int, pad: int, valid_keep: int):
     b, _, _, c = x.shape
     patches = jax.lax.conv_general_dilated_patches(
         x,
@@ -366,6 +363,56 @@ def _unfold_patches(x: jnp.ndarray, kernel: int, stride: int, pad: int,
         keep = (di[:, None] >= valid_keep) & (di[None, :] >= valid_keep)
         patches = patches[:, :, jnp.asarray(np.nonzero(keep.reshape(-1))[0])]
     return patches
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _unfold_patches(x: jnp.ndarray, kernel: int, stride: int, pad: int,
+                    valid_keep: int = 0) -> jnp.ndarray:
+    """nn.Unfold ≙ im2col: ``conv_general_dilated_patches`` forward (one
+    fused native patch-extraction) with a hand-written backward.
+
+    x (B, H, W, C) -> (B, nOut, n_entries, C) with entries in (di, dj)
+    row-major order, matching ``_unfold_index`` and the reference's
+    ``nn.Unfold`` layout.
+
+    Why the custom VJP: XLA transposes the patches op into a C·k²-channel
+    convolution that cost 15.5 ms/step (27%) on the CFFM-B1 train step. The
+    true transpose of im2col is k² interior-dilated pads summed together —
+    cheap elementwise work on these tiny pooled maps.
+    """
+    return _unfold_conv(x, kernel, stride, pad, valid_keep)
+
+
+def _unfold_patches_fwd(x, kernel, stride, pad, valid_keep):
+    # zero-size dtype token: residuals must be JAX types, not dtype objects
+    return (_unfold_conv(x, kernel, stride, pad, valid_keep),
+            (x.shape, jnp.zeros((0,), x.dtype)))
+
+
+def _unfold_patches_bwd(kernel, stride, pad, valid_keep, res, g):
+    (b, h, w, c), dtype_token = res
+    dtype = dtype_token.dtype
+    hp, wp = h + 2 * pad, w + 2 * pad
+    oh = (hp - kernel) // stride + 1
+    ow = (wp - kernel) // stride + 1
+    span = (oh - 1) * stride + 1
+    span_w = (ow - 1) * stride + 1
+    dxp = None
+    for e_idx, (di, dj) in enumerate(_kept_entries(kernel, valid_keep)):
+        ge = g[:, :, e_idx, :].reshape(b, oh, ow, c).astype(jnp.float32)
+        contrib = jax.lax.pad(
+            ge, jnp.zeros((), jnp.float32),
+            ((0, 0, 0),
+             (di, hp - di - span, stride - 1),
+             (dj, wp - dj - span_w, stride - 1),
+             (0, 0, 0)),
+        )
+        dxp = contrib if dxp is None else dxp + contrib
+    dx = dxp[:, pad : pad + h, pad : pad + w, :]
+    return (dx.astype(dtype),)
+
+
+_unfold_patches.defvjp(_unfold_patches_fwd, _unfold_patches_bwd)
 
 
 class _FcPool(nn.Module):
@@ -529,7 +576,8 @@ class CFFMWindowAttention(nn.Module):
             ks = [kp.reshape(b * n_w, kp.shape[2], c) for kp in k_parts]
             vs = [vp.reshape(b * n_w, vp.shape[2], c) for vp in v_parts]
             mask_t = jnp.tile(mask, (b, 1))
-            out = cfm_attention(q_f, ks, vs, bias, mask_t, nh)
+            out = cfm_attention(q_f, ks, vs, bias, mask_t, nh,
+                                train=not deterministic)
             out = out.reshape(b, n_w, area, c)
         else:
             qh = q_win.reshape(b, -1, area, nh, hd).transpose(0, 1, 3, 2, 4)

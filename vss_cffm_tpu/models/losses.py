@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.resize import resize_bilinear
+from ..ops import ce_upsampled as _ceu
 
 __all__ = [
     "cross_entropy",
@@ -155,6 +156,26 @@ def _flatten_frames(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape((-1,) + x.shape[2:])
 
 
+# None = auto (fused Pallas CE on TPU when the geometry allows); tests set
+# True (with ce_upsampled._INTERPRET) or False to pin a path.
+_FORCE_FUSED: bool | None = None
+
+
+def _fused_ce_applicable(logits: jnp.ndarray, labels: jnp.ndarray) -> bool:
+    if _FORCE_FUSED is not None:
+        return _FORCE_FUSED
+    h, w = logits.shape[1:3]
+    hh, ww = labels.shape[1:3]
+    if h == 0 or w == 0 or hh % h or ww % w or hh // h != ww // w or hh // h < 2:
+        return False
+    ch = 8
+    while ch > 1 and (h % ch or ch % 2):
+        ch -= 1
+    if ch < 2:  # backward kernel needs an even row-chunk divisor
+        return False
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
 def clip_ce_loss(
     seg_logits: jnp.ndarray,  # (B, T', h, w, C)
     seg_labels: jnp.ndarray,  # (B, T, H, W) int32
@@ -184,10 +205,30 @@ def clip_ce_loss(
         raise ValueError(f"unsupported logits/labels clip lengths {tp}/{tl}")
 
     size = seg_labels.shape[2:4]
-    logit_ori = resize_bilinear(_flatten_frames(logit_ori), size)
-    logit_last = resize_bilinear(_flatten_frames(logit_last), size)
+    logit_ori = _flatten_frames(logit_ori)
+    logit_last = _flatten_frames(logit_last)
     label_ori = _flatten_frames(label_ori)
     label_last = _flatten_frames(label_last)
+
+    if not use_ohem and _fused_ce_applicable(logit_ori, label_ori):
+        # fused Pallas path: per-pixel NLL/argmax straight from the 1/4-res
+        # logits; the upsampled (H, W, C) tensor never reaches HBM.
+        # Identical semantics: CE sums masked NLL over *all* pixels, and
+        # accuracy counts ignored pixels as incorrect (label 255 ≠ any pred).
+        s = label_ori.shape[1] // logit_ori.shape[1]
+        n_ori = logit_ori.shape[0]
+        logits_all = jnp.concatenate([logit_ori, logit_last], axis=0)
+        labels_ph = _ceu.labels_to_phase(
+            jnp.concatenate([label_ori, label_last], axis=0), s)
+        nll, pred = _ceu.ce_upsampled_nll(logits_all, labels_ph, s)
+        nll = jnp.where(labels_ph != ignore_index, nll, 0.0)
+        loss = 0.5 * nll[:n_ori].mean() + nll[n_ori:].mean()
+        acc = 100.0 * jnp.mean(
+            (pred[:n_ori] == labels_ph[:n_ori]).astype(jnp.float32))
+        return {"loss_seg": loss, "acc_seg": acc}
+
+    logit_ori = resize_bilinear(logit_ori, size)
+    logit_last = resize_bilinear(logit_last, size)
 
     weight_ori = weight_last = None
     if use_ohem:

@@ -1,0 +1,401 @@
+"""Fused cross-entropy on bilinearly-upsampled logits — Pallas TPU kernels.
+
+The clip loss (reference ``decode_head.py:743-835``) bilinearly upsamples
+(B·T', h, w, C) logits ×4 to label resolution and takes per-pixel CE. Under
+XLA this materializes the upsampled f32 tensor (≈0.5 GB/step at the CFFM
+train geometry) through HBM several times — measured 13.6 ms of a 57 ms
+B=2 train step (fwd+bwd). These kernels compute the per-pixel NLL (and
+argmax, for the reference's ``acc_seg``) directly from the low-resolution
+logits, and the backward pass accumulates dlogits in VMEM — the ×(s²·C)
+blow-up never touches HBM.
+
+Key identity: integer-scale (s) ``align_corners=False`` bilinear upsampling
+is *phase-separable* — output pixel (s·k+p) depends only on source pixels
+(k+δ_p, k+δ_p+1) with fixed per-phase weights
+``d_p = (p+0.5)/s − 0.5;  δ_p = −1 if d_p < 0 else 0;  f_p = d_p − δ_p``
+and edge clamping. So the loss factorizes over s² phase images of source
+resolution, which is how the kernels iterate (labels are pre-transposed to
+phase-major layout; every mean/argmax consumer is permutation-invariant).
+
+API::
+
+    nll_ph, pred_ph = ce_upsampled_nll(logits, labels_ph, scale)
+      logits    (N, h, w, C)  f32/bf16
+      labels_ph (N, s*s, h, w) int32 — see ``labels_to_phase``
+      nll_ph    (N, s*s, h, w) f32 — lse(up) − up[label] per pixel
+      pred_ph   (N, s*s, h, w) int32 — argmax (first max, torch tie order)
+
+``ce_upsampled_nll`` carries a custom VJP (grad wrt logits; the backward is
+a second Pallas kernel). ``ce_upsampled_nll_xla`` is the identical-math XLA
+reference used by the CPU fallback and the parity tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .resize import resize_bilinear
+
+__all__ = [
+    "labels_to_phase",
+    "phase_to_natural",
+    "ce_upsampled_nll",
+    "ce_upsampled_nll_xla",
+]
+
+_NEG = -1e30  # channel padding: never max, exp underflows to exactly 0
+
+
+def _phase_coeffs(s: int) -> list[tuple[int, float]]:
+    """Per-phase (δ, f): up[s·k+p] = (1−f)·x[k+δ] + f·x[k+δ+1] (edge-clamped)."""
+    out = []
+    for p in range(s):
+        d = (p + 0.5) / s - 0.5
+        delta = -1 if d < 0 else 0
+        out.append((delta, d - delta))
+    return out
+
+
+def labels_to_phase(labels: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(N, H, W) → (N, h, s·s, w), phase = ph·s + pw.
+
+    The phase axis sits *between* the source rows and columns so Pallas can
+    block over source rows while the last two dims (s², w) satisfy the TPU
+    block-shape rules."""
+    n, hh, ww = labels.shape
+    h, w = hh // s, ww // s
+    x = labels.reshape(n, h, s, w, s)
+    return x.transpose(0, 1, 2, 4, 3).reshape(n, h, s * s, w)
+
+
+def phase_to_natural(x_ph: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(N, h, s·s, w) → (N, H, W): inverse of ``labels_to_phase``."""
+    n, h, _, w = x_ph.shape
+    x = x_ph.reshape(n, h, s, s, w).transpose(0, 1, 2, 4, 3)
+    return x.reshape(n, h * s, w * s)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _shift_w(x, left: bool):
+    """Edge-replicated shift along axis 1 (W): left → x[v-1], else x[v+1]."""
+    if left:
+        return jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    return jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+
+
+def _shift_w_zero(x, left: bool):
+    """Zero-filled shift along axis 1: the transpose of ``_shift_w`` minus the
+    edge terms (which the backward kernel adds explicitly)."""
+    if left:
+        return jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
+    return jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, -1:])], axis=1)
+
+
+def _fwd_kernel(prev_ref, cur_ref, next_ref, lbl_ref, nll_ref, pred_ref, lse_ref,
+                *, s: int, ch: int, num_classes: int):
+    i = pl.program_id(1)
+    g = pl.num_programs(1)
+    coeffs = _phase_coeffs(s)
+
+    cur = cur_ref[0].astype(jnp.float32)  # (ch, w, Cp)
+    xm1 = jnp.where(i > 0, prev_ref[0, ch - 1].astype(jnp.float32), cur[0])
+    xp1 = jnp.where(i < g - 1, next_ref[0, 0].astype(jnp.float32), cur[ch - 1])
+    ext = jnp.concatenate([xm1[None], cur, xp1[None]], axis=0)  # (ch+2, w, Cp)
+
+    cp = ext.shape[-1]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (ch, ext.shape[1], cp), 2)
+
+    for ph, (dh, fh) in enumerate(coeffs):
+        # rows for this H phase: lo = ext[1+dh : 1+dh+ch], hi = lo+1
+        lo = ext[1 + dh : 1 + dh + ch]
+        hi = ext[2 + dh : 2 + dh + ch]
+        xh = lo * (1.0 - fh) + hi * fh  # (ch, w, Cp)
+        xh_l = _shift_w(xh, left=True)
+        xh_r = _shift_w(xh, left=False)
+        for pw, (dw, fw) in enumerate(coeffs):
+            if dw < 0:
+                up = xh_l * (1.0 - fw) + xh * fw
+            else:
+                up = xh * (1.0 - fw) + xh_r * fw
+            m = jnp.max(up, axis=-1, keepdims=True)
+            e = jnp.exp(up - m)
+            lse = m[..., 0] + jnp.log(jnp.sum(e, axis=-1))
+            pidx = ph * s + pw
+            lbl = lbl_ref[0, :, pidx]  # (ch, w) int32
+            safe = jnp.where((lbl >= 0) & (lbl < num_classes), lbl, 0)
+            picked = jnp.sum(jnp.where(iota_c == safe[..., None], up, 0.0), axis=-1)
+            nll_ref[0, :, pidx] = lse - picked
+            lse_ref[0, :, pidx] = lse
+            # argmax with torch's first-max tie order, as a *float max* reduce:
+            # integer min/max lane reductions serialize in Mosaic (measured
+            # 12.5 ms of a 14 ms kernel); max(C-1-i over maxima) is free
+            rev = jnp.where(up == m, (cp - 1 - iota_c).astype(jnp.float32), -1.0)
+            pred_ref[0, :, pidx] = (cp - 1) - jnp.max(rev, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "interpret"))
+def _ce_fwd_pallas(logits, labels_ph, s: int, interpret: bool = False):
+    n, h, w, c = logits.shape
+    cp = -(-c // 128) * 128
+    if cp != c:
+        logits = jnp.pad(logits, ((0, 0),) * 3 + ((0, cp - c),),
+                         constant_values=_NEG)
+    ch = 8
+    while h % ch:
+        ch -= 1
+    grid = (n, h // ch)
+    view = lambda fix: pl.BlockSpec(
+        (1, ch, w, cp), fix, memory_space=pltpu.VMEM)
+    g = h // ch
+    out_shapes = (
+        jax.ShapeDtypeStruct((n, h, s * s, w), jnp.float32),  # nll
+        jax.ShapeDtypeStruct((n, h, s * s, w), jnp.int32),    # pred
+        jax.ShapeDtypeStruct((n, h, s * s, w), jnp.float32),  # lse (bwd residual)
+    )
+    out_spec = pl.BlockSpec((1, ch, s * s, w), lambda ni, i: (ni, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, s=s, ch=ch, num_classes=c),
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[
+            view(lambda ni, i: (ni, jnp.maximum(i - 1, 0), 0, 0)),
+            view(lambda ni, i: (ni, i, 0, 0)),
+            view(lambda ni, i, g=g: (ni, jnp.minimum(i + 1, g - 1), 0, 0)),
+            pl.BlockSpec((1, ch, s * s, w), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        interpret=interpret,
+    )(logits, logits, logits, labels_ph)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel: dlogits from (g_nll, lse)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(xprev_ref, xcur_ref, xnext_ref,
+                lprev_ref, lcur_ref, lnext_ref,
+                sprev_ref, scur_ref, snext_ref,
+                gprev_ref, gcur_ref, gnext_ref,
+                dx_ref, *, s: int, ch: int, num_classes: int):
+    """dx[r] = Σ_phases transpose(W-comb)·transpose(H-comb) of
+    t = g · (softmax(up) − onehot(label)).
+
+    Needs t at source rows [K0−1, K0+ch] → recomputes ``up`` on a ±1-row halo.
+    Halo views are row slivers, not whole neighbour blocks (the x halo is a
+    2-row view, each phase-array halo a 1-row view) — full 3-view blocking
+    blew the 16 MB VMEM budget at the train geometry.
+    """
+    i = pl.program_id(1)
+    g = pl.num_programs(1)
+    coeffs = _phase_coeffs(s)
+
+    xcur = xcur_ref[0].astype(jnp.float32)  # (ch, w, Cp)
+    first = i == 0
+    last = i == g - 1
+    # x rows [K0-2, K0+ch+2): 2-row sliver views + edge replication
+    xm2 = jnp.where(i > 0, xprev_ref[0, 0].astype(jnp.float32), xcur[0])
+    xm1 = jnp.where(i > 0, xprev_ref[0, 1].astype(jnp.float32), xcur[0])
+    xp1 = jnp.where(i < g - 1, xnext_ref[0, 0].astype(jnp.float32), xcur[ch - 1])
+    xp2 = jnp.where(i < g - 1, xnext_ref[0, 1].astype(jnp.float32), xcur[ch - 1])
+    xe = jnp.concatenate([xm2[None], xm1[None], xcur, xp1[None], xp2[None]], 0)
+    # xe[j] = x[K0-2+j], j ∈ [0, ch+4)
+
+    cp = xe.shape[-1]
+    he = ch + 2  # t rows [K0-1, K0+ch+1)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (he, xe.shape[1], cp), 2)
+
+    dx = jnp.zeros((ch, xe.shape[1], cp), jnp.float32)
+
+    for ph, (dh, fh) in enumerate(coeffs):
+        dxh = jnp.zeros((he, xe.shape[1], cp), jnp.float32)
+        # up rows k ∈ [K0-1, K0+ch+1): lo = x[k+dh] = xe[k-K0+2+dh]
+        lo = xe[1 + dh : 1 + dh + he]
+        hi = xe[2 + dh : 2 + dh + he]
+        xh = lo * (1.0 - fh) + hi * fh
+        xh_l = _shift_w(xh, left=True)
+        xh_r = _shift_w(xh, left=False)
+        for pw, (dw, fw) in enumerate(coeffs):
+            if dw < 0:
+                up = xh_l * (1.0 - fw) + xh * fw
+            else:
+                up = xh * (1.0 - fw) + xh_r * fw
+            pidx = ph * s + pw
+
+            def halo(ref_p, ref_c, ref_n):
+                a = jnp.where(i > 0, ref_p[0, 0, pidx], ref_c[0, 0, pidx])
+                b = jnp.where(i < g - 1, ref_n[0, 0, pidx], ref_c[0, ch - 1, pidx])
+                return jnp.concatenate([a[None], ref_c[0, :, pidx], b[None]], 0)
+
+            # halo rows of lse / labels / g_nll; out-of-range halo rows get
+            # zero g (they correspond to k outside [0, h) only at the global
+            # edges, where no up-row exists)
+            gv = halo(gprev_ref, gcur_ref, gnext_ref)  # (he, w)
+            # zero the halo rows at the global edges (no up-row exists there);
+            # masked elementwise ops — Mosaic has no scatter
+            row = jax.lax.broadcasted_iota(jnp.int32, gv.shape, 0)
+            gv = jnp.where(first & (row == 0), 0.0, gv)
+            gv = jnp.where(last & (row == he - 1), 0.0, gv)
+            lse = halo(sprev_ref, scur_ref, snext_ref)
+            lbl = halo(lprev_ref, lcur_ref, lnext_ref)
+            safe = jnp.where((lbl >= 0) & (lbl < num_classes), lbl, 0)
+
+            sm = jnp.exp(up - lse[..., None])
+            onehot = (iota_c == safe[..., None]).astype(jnp.float32)
+            t = gv[..., None] * (sm - onehot)  # (he, w, Cp)
+
+            # --- transpose of the W combination -------------------------
+            col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            wlen = t.shape[1]
+            if dw < 0:
+                # up[v] = (1-fw)·Xw[v-1] + fw·Xw[v]; dXw[u] = (1-fw)·t[u+1] + fw·t[u]
+                dW = _shift_w_zero(t, left=False) * (1.0 - fw) + t * fw
+                # edge fold: dXw[-1] = (1-fw)·t[:,0] lands on col 0
+                dW = dW + jnp.where(col == 0, (1.0 - fw) * t, 0.0)
+            else:
+                # up[v] = (1-fw)·Xw[v] + fw·Xw[v+1]; dXw[u] = (1-fw)·t[u] + fw·t[u-1]
+                dW = t * (1.0 - fw) + _shift_w_zero(t, left=True) * fw
+                # edge fold: dXw[w] = fw·t[:,w-1] lands on col w-1
+                dW = dW + jnp.where(col == wlen - 1, fw * t, 0.0)
+            dxh = dxh + dW
+        # --- transpose of the H combination -----------------------------
+        # up[k] = (1-fh)·Xh[k+dh] + fh·Xh[k+dh+1]; dxh rows are t-rows
+        # k ∈ [K0-1, K0+ch+1). dXh[j] = (1-fh)·dxh[j-dh] + fh·dxh[j-dh-1]
+        # with dxh index base K0-1: row for k is dxh[k-K0+1].
+        # For j ∈ [K0, K0+ch): j-dh -> dxh[j-K0+1-dh], j-dh-1 -> dxh[j-K0-dh]
+        a = dxh[1 - dh : 1 - dh + ch]      # t[j - dh]
+        b = dxh[-dh : -dh + ch]            # t[j - dh - 1]
+        contrib = a * (1.0 - fh) + b * fh
+        # global edges: dXh[-1] = (1-fh)·t[-1+ -dh ...] only for dh = -1:
+        #   dXh[-1] = (1-fh)·t[0]  (k = -1+... wait: k = j - dh = -1+1 = 0)
+        rowc = jax.lax.broadcasted_iota(jnp.int32, contrib.shape, 0)
+        if dh < 0:
+            # dXh[-1] = (1-fh)·t[k=0]; t[k=0] = dxh[1] — folds onto row 0
+            contrib = contrib + jnp.where(
+                first & (rowc == 0), (1.0 - fh) * dxh[1][None], 0.0)
+        else:
+            # dXh[h] = fh·t[k=h-1]; t[k=h-1] = dxh[ch] — folds onto row h-1
+            contrib = contrib + jnp.where(
+                last & (rowc == ch - 1), fh * dxh[ch][None], 0.0)
+        dx = dx + contrib
+
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "c", "interpret"))
+def _ce_bwd_pallas(logits, labels_ph, lse_ph, g_nll, s: int, c: int,
+                   interpret: bool = False):
+    n, h, w, _ = logits.shape
+    cp = -(-c // 128) * 128
+    if cp != c:
+        logits = jnp.pad(logits, ((0, 0),) * 3 + ((0, cp - c),),
+                         constant_values=_NEG)
+    ch = 8
+    while ch > 1 and (h % ch or ch % 2):
+        ch -= 1
+    assert ch >= 2, "backward kernel needs an even row-chunk divisor of h"
+    grid = (n, h // ch)
+    g = h // ch
+    h2 = h // 2
+    # current block + 2-row (x) / 1-row (phase) halo slivers
+    xcurv = pl.BlockSpec((1, ch, w, cp), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    xprevv = pl.BlockSpec(
+        (1, 2, w, cp),
+        lambda ni, i, ch=ch: (ni, jnp.maximum(i * (ch // 2) - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    xnextv = pl.BlockSpec(
+        (1, 2, w, cp),
+        lambda ni, i, ch=ch, h2=h2: (ni, jnp.minimum((i + 1) * (ch // 2), h2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    pcurv = pl.BlockSpec((1, ch, s * s, w), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    pprevv = pl.BlockSpec(
+        (1, 1, s * s, w),
+        lambda ni, i, ch=ch: (ni, jnp.maximum(i * ch - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    pnextv = pl.BlockSpec(
+        (1, 1, s * s, w),
+        lambda ni, i, ch=ch, h=h: (ni, jnp.minimum((i + 1) * ch, h - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_bwd_kernel, s=s, ch=ch, num_classes=c),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            xprevv, xcurv, xnextv,
+            pprevv, pcurv, pnextv,
+            pprevv, pcurv, pnextv,
+            pprevv, pcurv, pnextv,
+        ],
+        out_specs=pl.BlockSpec((1, ch, w, cp), lambda ni, i: (ni, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(logits, logits, logits,
+      labels_ph, labels_ph, labels_ph,
+      lse_ph, lse_ph, lse_ph,
+      g_nll, g_nll, g_nll)
+    return out[..., :c]
+
+
+# ---------------------------------------------------------------------------
+# XLA reference (identical math; CPU fallback + test oracle)
+# ---------------------------------------------------------------------------
+
+
+def ce_upsampled_nll_xla(logits, labels_ph, s: int):
+    """Upsample-then-CE via ``resize_bilinear`` (the pre-kernel formulation)."""
+    n, h, w, c = logits.shape
+    up = resize_bilinear(logits.astype(jnp.float32), (h * s, w * s))
+    lse = jax.scipy.special.logsumexp(up, axis=-1)
+    lbl = phase_to_natural(labels_ph, s)
+    # out-of-range (ignored) labels pick class 0, matching the kernel and
+    # ``losses.cross_entropy`` — those pixels are masked by every consumer
+    safe = jnp.where((lbl >= 0) & (lbl < c), lbl, 0)
+    picked = jnp.sum(
+        jnp.where(safe[..., None] == jnp.arange(c), up, 0.0), axis=-1
+    )
+    pred = jnp.argmax(up, axis=-1).astype(jnp.int32)
+    return labels_to_phase(lse - picked, s), labels_to_phase(pred, s)
+
+
+# ---------------------------------------------------------------------------
+# public differentiable entry point
+# ---------------------------------------------------------------------------
+
+_INTERPRET = False  # tests flip this to run the kernels off-TPU
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def ce_upsampled_nll(logits, labels_ph, s: int):
+    nll, pred, _ = _ce_fwd_pallas(logits, labels_ph, s, interpret=_INTERPRET)
+    return nll, pred
+
+
+def _ce_fwd(logits, labels_ph, s: int):
+    nll, pred, lse = _ce_fwd_pallas(logits, labels_ph, s, interpret=_INTERPRET)
+    return (nll, pred), (logits, labels_ph, lse)
+
+
+def _ce_bwd(s: int, res, cts):
+    logits, labels_ph, lse = res
+    g_nll, _ = cts  # pred is int-valued: its cotangent is symbolic-zero
+    dlogits = _ce_bwd_pallas(logits, labels_ph, lse, g_nll, s, logits.shape[-1],
+                             interpret=_INTERPRET)
+    return (dlogits.astype(logits.dtype),
+            np.zeros(labels_ph.shape, dtype=jax.dtypes.float0))
+
+
+ce_upsampled_nll.defvjp(_ce_fwd, _ce_bwd)

@@ -176,8 +176,16 @@ def _cfm_bwd(nh: int, res, g):
 _cfm_attention_pallas.defvjp(_cfm_fwd, _cfm_bwd)
 
 
-def cfm_attention(q, ks, vs, bias, mask, nh: int, force: str | None = None):
-    """force: None (auto: Pallas on TPU, XLA elsewhere) | 'pallas' | 'xla' | 'interpret'."""
+def cfm_attention(q, ks, vs, bias, mask, nh: int, force: str | None = None,
+                  train: bool = False):
+    """force: None (auto) | 'pallas' | 'xla' | 'interpret'.
+
+    Auto policy: the Pallas kernel for TPU *inference*; the XLA streaming
+    formulation for training and off-TPU. The kernel is differentiable (its
+    custom_vjp replays the XLA formulation), but that replay re-runs the
+    whole attention forward inside the backward pass — measured ~+7 ms on
+    the CFFM-B1 train step — so training prefers XLA's own linearization.
+    """
     if force == "interpret":
         return _cfm_attention_pallas_impl(q, tuple(ks), tuple(vs), bias, mask, nh, interpret=True)
     if force == "pallas":
@@ -185,6 +193,6 @@ def cfm_attention(q, ks, vs, bias, mask, nh: int, force: str | None = None):
     if force == "xla":
         return _cfm_attention_xla(q, ks, vs, bias, mask, nh)
     platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon"):
+    if platform in ("tpu", "axon") and not train:
         return _cfm_attention_pallas(q, tuple(ks), tuple(vs), bias, mask, nh)
     return _cfm_attention_xla(q, ks, vs, bias, mask, nh)
