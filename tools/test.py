@@ -83,6 +83,9 @@ def main():
     ap.add_argument("--host-normalize", action="store_true",
                     help="normalize images on the host instead of on device "
                          "(device normalization is bit-identical and 4x less H2D)")
+    ap.add_argument("--shape-census", action="store_true",
+                    help="print the set of jit shapes this eval would compile "
+                         "(from image headers; no device work) and exit")
     ap.add_argument("--options", nargs="*", default=[])
     args = ap.parse_args()
 
@@ -96,6 +99,20 @@ def main():
         cfg.data.data_root, args.split, dilation=cfg.data.dilation,
         img_scale=cfg.data.img_scale,
     )
+
+    from vss_cffm_tpu.eval.census import eval_shape_census
+
+    census = eval_shape_census(
+        dataset, tta_ratios=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75) if args.aug_test else None)
+    logger.info(
+        f"eval shape census: {census['num_compiles']} distinct jit shape(s) over "
+        f"{census['num_frames']} frames / {census['num_videos']} videos "
+        f"(persistent compile cache absorbs repeats across runs)")
+    if args.shape_census:
+        for shape, n in sorted(census["shapes"].items(), key=lambda kv: -kv[1]):
+            t_, ah, aw, oh, ow = shape
+            print(f"T={t_} aligned=({ah},{aw}) ori=({oh},{ow}): {n} frames")
+        return
     t = len(cfg.data.dilation) + 1
     sample = jnp.zeros((1, t, *cfg.data.crop_size, 3), jnp.float32)
     params, batch_stats = load_state(cfg, model, args.checkpoint, sample, finetune, store)
