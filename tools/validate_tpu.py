@@ -26,10 +26,68 @@ from vss_cffm_tpu.train import OptimConfig, TrainState, build_optimizer, make_tr
 from vss_cffm_tpu.utils.benchmark import time_apply_chunked
 
 
+def kernel_parity(rng) -> dict:
+    """Execute every Pallas kernel on the device and compare against the
+    identical-math XLA formulation (VERDICT r1: Mosaic-on-hardware behaviour
+    must be validated on the real chip, not only in interpret mode)."""
+    out = {}
+
+    # CFM attention (inference default path)
+    from vss_cffm_tpu.ops.cfm_attention import cfm_attention
+
+    nh, hd, area = 8, 32, 49
+    c = nh * hd
+    gsizes = [49, 132, 25, 49, 25, 9]
+    q = jnp.asarray(rng.randn(81, area, c).astype(np.float32)).astype(jnp.bfloat16)
+    ks = [jnp.asarray(rng.randn(81, g, c).astype(np.float32)).astype(jnp.bfloat16) for g in gsizes]
+    vs = [jnp.asarray(rng.randn(81, g, c).astype(np.float32)).astype(jnp.bfloat16) for g in gsizes]
+    bias = jnp.asarray(rng.randn(nh, area, sum(gsizes)).astype(np.float32))
+    mask = jnp.asarray(np.where(rng.rand(81, sum(gsizes)) < 0.1, -100.0, 0.0).astype(np.float32))
+    got = np.asarray(cfm_attention(q, ks, vs, bias, mask, nh, force="pallas"), np.float32)
+    want = np.asarray(cfm_attention(q, ks, vs, bias, mask, nh, force="xla"), np.float32)
+    out["cfm_kernel_max_err"] = float(np.abs(got - want).max())
+    assert out["cfm_kernel_max_err"] < 0.05, out  # bf16 AV tolerance
+
+    # fused CE on upsampled logits (training loss path)
+    import vss_cffm_tpu.ops.ce_upsampled as ce
+
+    logits = jnp.asarray(rng.randn(4, 120, 120, 124).astype(np.float32))
+    labels = rng.randint(0, 124, (4, 480, 480)).astype(np.int32)
+    labels[rng.rand(*labels.shape) < 0.1] = 255
+    lph = ce.labels_to_phase(jnp.asarray(labels), 4)
+    nll, pred = jax.jit(lambda a, b: ce.ce_upsampled_nll(a, b, 4))(logits, lph)
+    nll_r, pred_r = jax.jit(lambda a, b: ce.ce_upsampled_nll_xla(a, b, 4))(logits, lph)
+    out["ce_kernel_max_err"] = float(np.abs(np.asarray(nll) - np.asarray(nll_r)).max())
+    out["ce_kernel_pred_mismatch"] = int((np.asarray(pred) != np.asarray(pred_r)).sum())
+    valid = lph != 255
+    g = jax.jit(jax.grad(lambda x: jnp.mean(jnp.where(valid, ce.ce_upsampled_nll(x, lph, 4)[0], 0.0))))(logits)
+    gr = jax.jit(jax.grad(lambda x: jnp.mean(jnp.where(valid, ce.ce_upsampled_nll_xla(x, lph, 4)[0], 0.0))))(logits)
+    out["ce_kernel_grad_max_err"] = float(np.abs(np.asarray(g) - np.asarray(gr)).max())
+    assert out["ce_kernel_max_err"] < 1e-3 and out["ce_kernel_pred_mismatch"] == 0
+    assert out["ce_kernel_grad_max_err"] < 1e-6
+
+    # dwconv formulations
+    from vss_cffm_tpu.ops.dwconv import dwconv3x3
+
+    x = jnp.asarray(rng.randn(4, 120, 120, 256).astype(np.float32)).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, 1, 256).astype(np.float32))
+    b = jnp.asarray(rng.randn(256).astype(np.float32))
+    ref = np.asarray(dwconv3x3(x, k, b, gelu=True, force="xla"), np.float32)
+    for impl in ("shifts", "pallas"):
+        gotd = np.asarray(dwconv3x3(x, k, b, gelu=True, force=impl), np.float32)
+        out[f"dwconv_{impl}_max_err"] = float(np.abs(gotd - ref).max())
+        assert out[f"dwconv_{impl}_max_err"] < 0.15, out  # bf16 9-tap tolerance
+    return out
+
+
 def main():
     rng = np.random.RandomState(0)
     print(f"devices: {jax.devices()}")
+    from vss_cffm_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     results = {}
+    results.update(kernel_parity(rng))
 
     # clip inference fps per variant
     imgs = jnp.asarray(rng.randn(1, 4, 480, 480, 3), jnp.float32)

@@ -137,17 +137,19 @@ def _dwconv3x3_shifts(x, kernel, bias, gelu: bool = False):
     avoiding the conv emitter's layout round-trips.
     """
     b, h, w, c = x.shape
-    k = kernel.reshape(3, 3, c).astype(x.dtype)
+    # accumulate the 9 taps in f32 (the conv emitter also accumulates f32):
+    # the ops fuse into one loop fusion, so HBM traffic stays bf16
+    k = kernel.reshape(3, 3, c).astype(jnp.float32)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     acc = None
     for di in range(3):
         for dj in range(3):
-            term = xp[:, di : di + h, dj : dj + w, :] * k[di, dj]
+            term = xp[:, di : di + h, dj : dj + w, :].astype(jnp.float32) * k[di, dj]
             acc = term if acc is None else acc + term
-    acc = acc + bias.astype(acc.dtype)
+    acc = acc + bias.astype(jnp.float32)
     if gelu:
         acc = jax.nn.gelu(acc, approximate=False)
-    return acc
+    return acc.astype(x.dtype)
 
 
 def _dwconv3x3_xla(x, kernel, bias, gelu: bool = False):
