@@ -119,5 +119,155 @@ def ref_mix_transformer():
     return load_ref_module("mmseg/models/backbones/mix_transformer.py", "ref_mix_transformer")
 
 
+def _install_head_stubs() -> None:
+    """Extra stubs for loading the reference *decode head* files.
+
+    ``ConvModule`` replicates mmcv's conv→norm→act with the same child names
+    (``conv``/``bn``/``activate``) and ``bias='auto'`` rule so state_dict keys
+    match real checkpoints; SyncBN ≡ BatchNorm2d in a single process.
+    """
+    import torch.nn.functional as F
+
+    if getattr(sys.modules.get("mmcv.cnn"), "__ref_stub__", False):
+        return
+    _install_stubs()
+
+    cnn = _mod("mmcv.cnn")
+
+    class ConvModule(nn.Module):
+        def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                     padding=0, dilation=1, groups=1, bias="auto", conv_cfg=None,
+                     norm_cfg=None, act_cfg=dict(type="ReLU"), **kw):
+            super().__init__()
+            use_bias = (norm_cfg is None) if bias == "auto" else bool(bias)
+            self.conv = nn.Conv2d(in_channels, out_channels, kernel_size, stride,
+                                  padding, dilation, groups, bias=use_bias)
+            if norm_cfg is not None:
+                assert norm_cfg.get("type") in ("SyncBN", "BN"), norm_cfg
+                self.bn = nn.BatchNorm2d(out_channels)
+            else:
+                self.bn = None
+            self.activate = nn.ReLU(inplace=False) if act_cfg else None
+
+        def forward(self, x):
+            x = self.conv(x)
+            if self.bn is not None:
+                x = self.bn(x)
+            if self.activate is not None:
+                x = self.activate(x)
+            return x
+
+    cnn.ConvModule = ConvModule
+    cnn.DepthwiseSeparableConvModule = ConvModule  # imported, unused by CFFM
+    cnn.normal_init = lambda m, mean=0.0, std=1.0, bias=0.0: (
+        nn.init.normal_(m.weight, mean, std),
+        m.bias is not None and nn.init.constant_(m.bias, bias),
+    )
+
+    ops = _mod("mmseg.ops")
+
+    def resize(input, size=None, scale_factor=None, mode="nearest",
+               align_corners=None, warning=True):
+        return F.interpolate(input, size, scale_factor, mode, align_corners)
+
+    ops.resize = resize
+
+    runner = sys.modules["mmcv.runner"]
+    runner.auto_fp16 = lambda **kw: (lambda fn: fn)
+    runner.force_fp32 = lambda **kw: (lambda fn: fn)
+
+    core = _mod("mmseg.core")
+    core.build_pixel_sampler = lambda cfg, **kw: None
+
+    class _Registry:
+        def register_module(self, *a, **k):
+            def deco(cls):
+                return cls
+
+            return deco
+
+    builder = sys.modules["mmseg.models.builder"]
+    builder.HEADS = _Registry()
+
+    class _DummyLoss(nn.Module):
+        loss_name = "loss_ce"
+
+        def forward(self, *a, **k):
+            return torch.zeros(())
+
+    builder.build_loss = lambda cfg: _DummyLoss()
+
+    losses = _mod("mmseg.models.losses")
+    losses.accuracy = lambda *a, **k: torch.zeros(())
+    mutils = _mod("mmseg.models.utils")
+    mutils.__all__ = []
+
+    _mod("IPython").embed = lambda *a, **k: None
+    _mod("fast_pytorch_kmeans").KMeans = object
+    if "attr" not in sys.modules:
+        try:
+            import attr  # noqa: F401
+        except ImportError:
+            _mod("attr")
+
+
+def _load_rewritten(relpath: str, name: str, rewrites: dict[str, str]) -> types.ModuleType:
+    """Load a reference file whose *relative imports* are rewritten to the
+    stub/loaded module names (importlib can't resolve them file-by-file).
+    Only import lines are touched — the executed math is reference code."""
+    if name in _CACHE:
+        return _CACHE[name]
+    _install_head_stubs()
+    src = open(f"{REF_ROOT}/{relpath}").read()
+    for old, new in rewrites.items():
+        src = src.replace(old, new)
+    m = types.ModuleType(name)
+    m.__file__ = f"{REF_ROOT}/{relpath}"
+    sys.modules[name] = m
+    exec(compile(src, m.__file__, "exec"), m.__dict__)
+    _CACHE[name] = m
+    return m
+
+
+def ref_swin2d():
+    """pvt/swin_transformer_2d.py (cluster attention) — torch+timm only."""
+    return load_ref_module(
+        "mmseg/models/decode_heads/pvt/swin_transformer_2d.py", "ref_swin2d"
+    )
+
+
+def ref_decode_head():
+    return _load_rewritten(
+        "mmseg/models/decode_heads/decode_head.py",
+        "ref_decode_head",
+        {
+            "from ..builder import build_loss": "from mmseg.models.builder import build_loss",
+            "from ..losses import accuracy": "from mmseg.models.losses import accuracy",
+        },
+    )
+
+
+def ref_pvt():
+    return load_ref_module("mmseg/models/decode_heads/pvt/pvt.py", "ref_pvt")
+
+
+def ref_cffm_head():
+    ref_cffm_transformer()
+    ref_swin2d()
+    ref_decode_head()
+    ref_pvt()
+    return _load_rewritten(
+        "mmseg/models/decode_heads/cffm_head.py",
+        "ref_cffm_head",
+        {
+            "from ..builder import HEADS": "from mmseg.models.builder import HEADS",
+            "from .decode_head import": "from ref_decode_head import",
+            "from .cffm_module.cffm_transformer import": "from ref_cffm_transformer import",
+            "from .pvt.swin_transformer_2d import": "from ref_swin2d import",
+            "from .pvt.pvt import": "from ref_pvt import",
+        },
+    )
+
+
 def state_dict_numpy(module: nn.Module) -> dict:
     return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}

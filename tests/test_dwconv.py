@@ -22,12 +22,13 @@ def test_pallas_interpret_matches_xla(rng, shape, gelu):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
-def test_xla_path_matches_torch(rng):
+@pytest.mark.parametrize("force", ["xla", "shifts"])
+def test_xla_path_matches_torch(rng, force):
     x = rng.randn(2, 9, 11, 6).astype(np.float32)
     k = rng.randn(3, 3, 1, 6).astype(np.float32)
     b = rng.randn(6).astype(np.float32)
     got = np.asarray(dwconv3x3(jnp.asarray(x), jnp.asarray(k), jnp.asarray(b),
-                               gelu=True, force="xla"))
+                               gelu=True, force=force))
     xt = torch.from_numpy(x).permute(0, 3, 1, 2)
     kt = torch.from_numpy(k).permute(3, 2, 0, 1)
     want = F.conv2d(xt, kt, torch.from_numpy(b), padding=1, groups=6)

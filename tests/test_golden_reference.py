@@ -102,3 +102,130 @@ def test_mit_b1_block_chain_matches_reference(rng):
 
     feats = MiT(MIT_VARIANTS["mit_b1"]).apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(feats[0]), want, rtol=5e-4, atol=5e-4)
+
+
+def test_full_segmentor_matches_reference_modules(rng):
+    """End-to-end golden parity: reference mit_b1 + CFFMHead_clips_resize1_8
+    (the reference's OWN head code, stub-loaded) vs our CFFMSegmentor with
+    ``convert_segmentor``-mapped weights — backbone, per-frame MLP decode,
+    SyncBN linear_fuse, CFFM decoder, refined-frame prediction, eval output
+    path (reference ``cffm_head.py:41-157``, ``encoder_decoder.py:367-378``)."""
+    import dataclasses
+
+    from ref_modules import ref_cffm_head
+    from vss_cffm_tpu.models import CFFMSegmentor, build_model_config
+    from vss_cffm_tpu.utils.torch_convert import convert_segmentor
+
+    head_mod = ref_cffm_head()
+    mix = ref_mix_transformer()
+    torch.manual_seed(0)
+
+    class RefSegmentor(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = mix.mit_b1()
+            self.decode_head = head_mod.CFFMHead_clips_resize1_8(
+                feature_strides=[4, 8, 16, 32],
+                in_channels=[64, 128, 320, 512],
+                in_index=[0, 1, 2, 3],
+                channels=128,
+                dropout_ratio=0.1,
+                num_classes=124,
+                norm_cfg=dict(type="SyncBN", requires_grad=True),
+                align_corners=False,
+                decoder_params=dict(embed_dim=256, depths=2),
+                loss_decode=dict(type="CrossEntropyLoss"),
+                num_clips=4,
+            )
+
+    refnet = RefSegmentor()
+    refnet.eval()
+
+    h = w = 112
+    x = (rng.randn(1, 4, h, w, 3) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        frames = torch.from_numpy(x[0]).permute(0, 3, 1, 2)  # (T,3,H,W)
+        feats = refnet.backbone(frames)
+        # eval path returns the refined last-frame logits, already squeezed
+        # to (B, C, h/4, w/4) (cffm_head.py:152-155)
+        want = refnet.decode_head(feats, batch_size=1, num_clips=4)
+        want = want.permute(0, 2, 3, 1).numpy()  # (1, h/4, w/4, C)
+
+    cfg = build_model_config("b1")
+    variables = convert_segmentor(state_dict_numpy(refnet), cfg)
+    model = CFFMSegmentor(cfg)  # f32
+    got = np.asarray(model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), False,
+    ))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_finetune_head_matches_reference_modules(rng, tmp_path, monkeypatch):
+    """CFFM++ finetune (GTC) golden parity: reference
+    ``CFFMHead_clips_resize1_8_finetune_w_prototype3`` + ``BasicLayer_cluster``
+    (the actual reference code) vs our finetune-mode segmentor — covers the
+    cluster cross-attention, frozen linear_fuse eval semantics, and the
+    eval blend x2 + 0.5·x3 (reference ``cffm_head.py:304-536``,
+    ``pvt/swin_transformer_2d.py:1039-1148``)."""
+    import dataclasses
+
+    from ref_modules import ref_cffm_head
+    from vss_cffm_tpu.models import CFFMSegmentor, build_model_config
+    from vss_cffm_tpu.utils.torch_convert import convert_segmentor
+
+    head_mod = ref_cffm_head()
+    mix = ref_mix_transformer()
+    torch.manual_seed(1)
+    # the reference forward calls .cuda() on the loaded centers; no GPU here
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    monkeypatch.chdir(tmp_path)
+
+    video = "vid_golden"
+    centers = torch.from_numpy((rng.randn(1, 100, 256) * 0.2).astype(np.float32))
+    cdir = tmp_path / "cluster_centers" / video
+    cdir.mkdir(parents=True)
+    torch.save(centers, cdir / "centers.pt")
+
+    class RefSegmentor(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = mix.mit_b1()
+            self.decode_head = head_mod.CFFMHead_clips_resize1_8_finetune_w_prototype3(
+                feature_strides=[4, 8, 16, 32],
+                in_channels=[64, 128, 320, 512],
+                in_index=[0, 1, 2, 3],
+                channels=128,
+                dropout_ratio=0.1,
+                num_classes=124,
+                norm_cfg=dict(type="SyncBN", requires_grad=True),
+                align_corners=False,
+                decoder_params=dict(embed_dim=256, depths=2),
+                loss_decode=dict(type="CrossEntropyLoss"),
+                num_clips=4,
+            )
+
+    refnet = RefSegmentor()
+    refnet.eval()
+
+    h = w = 112
+    x = (rng.randn(1, 4, h, w, 3) * 0.5).astype(np.float32)
+    img_metas = [{"filename": f"data/{video}/origin/00000042.jpg"}]
+    with torch.no_grad():
+        frames = torch.from_numpy(x[0]).permute(0, 3, 1, 2)
+        feats = refnet.backbone(frames)
+        want = refnet.decode_head(feats, batch_size=1, num_clips=4,
+                                  img_metas=img_metas)
+        want = want.permute(0, 2, 3, 1).numpy()  # x2 + 0.5*x3, (1, h/4, w/4, C)
+
+    cfg = build_model_config("b1", mode="finetune")
+    variables = convert_segmentor(state_dict_numpy(refnet), cfg)
+    model = CFFMSegmentor(cfg)
+    got = np.asarray(model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), False,
+        (jnp.asarray(centers.numpy()), jnp.ones((1, 100), bool)),
+    ))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
