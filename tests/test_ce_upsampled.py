@@ -73,3 +73,18 @@ def test_fused_clip_loss_matches_fallback(rng, monkeypatch):
     np.testing.assert_allclose(float(got["loss_seg"]), float(want["loss_seg"]), rtol=2e-5)
     np.testing.assert_allclose(float(got["acc_seg"]), float(want["acc_seg"]), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), rtol=2e-4, atol=1e-7)
+
+
+def test_fused_city_loss_matches_fallback(rng, monkeypatch):
+    b, t, h, w, c, s = 1, 4, 8, 8, 19, 4
+    logits = jnp.asarray(rng.randn(b, t + 1, h, w, c).astype(np.float32))
+    labels = rng.randint(0, c, (b, t, h * s, w * s)).astype(np.int32)
+    labels[rng.rand(*labels.shape) < 0.15] = 255
+    labels = jnp.asarray(labels)
+
+    monkeypatch.setattr(losses, "_FORCE_FUSED", True)
+    got = losses.clip_ce_loss_city(logits, labels)
+    monkeypatch.setattr(losses, "_FORCE_FUSED", False)
+    want = losses.clip_ce_loss_city(logits, labels)
+    np.testing.assert_allclose(float(got["loss_seg"]), float(want["loss_seg"]), rtol=2e-5)
+    np.testing.assert_allclose(float(got["acc_seg"]), float(want["acc_seg"]), rtol=1e-6)

@@ -254,9 +254,21 @@ def clip_ce_loss_city(
     frame's label."""
     assert seg_logits.shape[1] == seg_labels.shape[1] + 1
     size = seg_labels.shape[2:4]
+    label = seg_labels[:, -1]
+
+    if _fused_ce_applicable(seg_logits[:, -2], label):
+        s = label.shape[1] // seg_logits.shape[2]
+        n = seg_logits.shape[0]
+        logits_all = jnp.concatenate([seg_logits[:, -2], seg_logits[:, -1]], axis=0)
+        labels_ph = _ceu.labels_to_phase(jnp.concatenate([label, label], axis=0), s)
+        nll, pred = _ceu.ce_upsampled_nll(logits_all, labels_ph, s)
+        nll = jnp.where(labels_ph != ignore_index, nll, 0.0)
+        loss = 0.5 * nll[:n].mean() + nll[n:].mean()
+        acc = 100.0 * jnp.mean((pred[:n] == labels_ph[:n]).astype(jnp.float32))
+        return {"loss_seg": loss, "acc_seg": acc}
+
     logit_ori = resize_bilinear(seg_logits[:, -2], size)
     logit_last = resize_bilinear(seg_logits[:, -1], size)
-    label = seg_labels[:, -1]
     loss = 0.5 * cross_entropy(logit_ori, label, ignore_index) + cross_entropy(
         logit_last, label, ignore_index
     )
