@@ -33,7 +33,13 @@ def test_pallas_custom_vjp_matches_xla_grad(rng, monkeypatch):
     orig = m._cfm_attention_pallas_impl
     monkeypatch.setattr(
         m, "_cfm_attention_pallas_impl",
-        lambda q, ks, vs, b, mk, nh, interpret=False: orig(q, ks, vs, b, mk, nh, interpret=True),
+        lambda q, ks, vs, b, mk, nh, interpret=False, with_probs=False:
+            orig(q, ks, vs, b, mk, nh, interpret=True, with_probs=with_probs),
+    )
+    orig_b = m._cfm_attention_bwd_pallas
+    monkeypatch.setattr(
+        m, "_cfm_attention_bwd_pallas",
+        lambda *a, **k: orig_b(*a, **{**k, "interpret": True}),
     )
     nw, nh, hd, area = 4, 2, 16, 49
     c = nh * hd

@@ -29,10 +29,12 @@ API::
       bias (nh, 49, N)   N = Σ n_g
       mask (nW, N)       additive 0 / −100
 
-Differentiable: the Pallas forward carries a ``jax.custom_vjp`` whose
-backward is the VJP of the (mathematically identical) XLA formulation, so
-the same code path serves training. Falls back to the XLA formulation
-off-TPU.
+Differentiable: the Pallas forward carries a ``jax.custom_vjp``; in
+training the forward kernel additionally saves the softmax probabilities
+and a second Pallas kernel computes dq/dk/dv/dbias from them directly —
+no forward recompute, no XLA replay. (Set ``_BWD='xla'`` to fall back to
+the VJP of the identical-math XLA formulation, which is also the test
+oracle.) Falls back to the XLA formulation off-TPU.
 """
 
 from __future__ import annotations
@@ -41,16 +43,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["cfm_attention"]
 
 
-def _kernel(q_ref, kt_ref, v_ref, bias_ref, mask_ref, o_ref):
-    """One program = one (head, tile of tw windows)."""
-    q = q_ref[0]  # (tw, 49, hd) bf16, pre-scaled
-    kt = kt_ref[0]  # (tw, hd, N)
+def _softmax_probs(q, kt, bias_ref, mask_ref):
     scores = jax.lax.dot_general(
         q, kt,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -60,7 +60,12 @@ def _kernel(q_ref, kt_ref, v_ref, bias_ref, mask_ref, o_ref):
     scores = scores + mask_ref[...][:, None, :]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _kernel(q_ref, kt_ref, v_ref, bias_ref, mask_ref, o_ref):
+    """One program = one (head, tile of tw windows)."""
+    p = _softmax_probs(q_ref[0], kt_ref[0], bias_ref, mask_ref)
     v = v_ref[0]  # (tw, N, hd)
     out = jax.lax.dot_general(
         p.astype(v.dtype), v,
@@ -70,14 +75,76 @@ def _kernel(q_ref, kt_ref, v_ref, bias_ref, mask_ref, o_ref):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("nh", "interpret"))
-def _cfm_attention_pallas_impl(q, ks, vs, bias, mask, nh: int, interpret: bool = False):
+def _kernel_with_p(q_ref, kt_ref, v_ref, bias_ref, mask_ref, o_ref, p_ref):
+    """Forward that also materialises the probabilities (training residual)."""
+    p = _softmax_probs(q_ref[0], kt_ref[0], bias_ref, mask_ref)
+    v = v_ref[0]
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+    p_ref[0] = p.astype(p_ref.dtype)
+
+
+def _bwd_kernel(p_ref, g_ref, qs_ref, kt_ref, v_ref,
+                dq_ref, dk_ref, dv_ref, dbias_ref):
+    """Attention backward from saved probabilities (no forward recompute).
+
+    dP = g·Vᵀ; dS = P ∘ (dP − Σ_k dP∘P); dqs = dS·K; dK = dSᵀ·qs;
+    dV = Pᵀ·g; dbias = Σ_windows dS (accumulated across window tiles — the
+    dbias output block is revisited for every i at fixed head).
+    """
+    i = pl.program_id(1)
+    p = p_ref[0].astype(jnp.float32)  # (tw, 49, N)
+    g = g_ref[0]  # (tw, 49, hd) bf16
+    v = v_ref[0]  # (tw, N, hd)
+    dp = jax.lax.dot_general(
+        g, v,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (tw, 49, N)
+    r = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - r)  # (tw, 49, N) f32
+    ds_b = ds.astype(g.dtype)
+    kt = kt_ref[0]  # (tw, hd, N)
+    dq_ref[0] = jax.lax.dot_general(
+        ds_b, kt,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)  # (tw, 49, hd)
+    qs = qs_ref[0]  # (tw, 49, hd)
+    dk_ref[0] = jax.lax.dot_general(
+        ds_b, qs,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)  # (tw, N, hd)
+    dv_ref[0] = jax.lax.dot_general(
+        p.astype(g.dtype), g,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)  # (tw, N, hd)
+    db = jnp.sum(ds, axis=0)  # (49, N)
+
+    @pl.when(i == 0)
+    def _():
+        dbias_ref[0] = db
+
+    @pl.when(i > 0)
+    def _():
+        dbias_ref[0] = dbias_ref[0] + db
+
+
+_TW = 8
+
+
+def _head_major(q, ks, vs, mask, nh: int):
+    """Pad the window axis to the tile and build head-major Q/Kᵀ/V."""
     n_w0, area, c = q.shape
     hd = c // nh
     scale = hd**-0.5
-
-    tw = 8
-    n_w = -(-n_w0 // tw) * tw
+    n_w = -(-n_w0 // _TW) * _TW
     k_all = jnp.concatenate(ks, axis=1)
     v_all = jnp.concatenate(vs, axis=1)
     n_total = k_all.shape[1]
@@ -87,31 +154,111 @@ def _cfm_attention_pallas_impl(q, ks, vs, bias, mask, nh: int, interpret: bool =
         k_all = jnp.pad(k_all, pad + [(0, 0), (0, 0)])
         v_all = jnp.pad(v_all, pad + [(0, 0), (0, 0)])
         mask = jnp.pad(mask, pad + [(0, 0)])
-
-    # head-major layouts (single cheap bf16 transposes in XLA)
     qh = (q * scale).reshape(n_w, area, nh, hd).transpose(2, 0, 1, 3)
     kt = k_all.reshape(n_w, n_total, nh, hd).transpose(2, 0, 3, 1)  # (nh,nW,hd,N)
     vh = v_all.reshape(n_w, n_total, nh, hd).transpose(2, 0, 1, 3)  # (nh,nW,N,hd)
+    return qh, kt, vh, mask, n_w, n_total
 
-    grid = (nh, n_w // tw)  # window-tile minor: bias/q re-fetch only per head
+
+@functools.partial(jax.jit, static_argnames=("nh", "interpret", "with_probs"))
+def _cfm_attention_pallas_impl(q, ks, vs, bias, mask, nh: int,
+                               interpret: bool = False, with_probs: bool = False):
+    n_w0, area, c = q.shape
+    hd = c // nh
+    qh, kt, vh, mask_p, n_w, n_total = _head_major(q, ks, vs, mask, nh)
+
+    grid = (nh, n_w // _TW)  # window-tile minor: bias/q re-fetch only per head
+    in_specs = [
+        pl.BlockSpec((1, _TW, area, hd), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _TW, hd, n_total), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _TW, n_total, hd), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, area, n_total), lambda h, i: (h, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_TW, n_total), lambda h, i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec(
+        (1, _TW, area, hd), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    if with_probs:
+        out, probs = pl.pallas_call(
+            _kernel_with_p,
+            out_shape=(
+                jax.ShapeDtypeStruct((nh, n_w, area, hd), q.dtype),
+                jax.ShapeDtypeStruct((nh, n_w, area, n_total), q.dtype),
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(out_spec,
+                       pl.BlockSpec((1, _TW, area, n_total),
+                                    lambda h, i: (h, i, 0, 0),
+                                    memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )(qh, kt, vh, bias.astype(jnp.float32), mask_p.astype(jnp.float32))
+        return out.transpose(1, 2, 0, 3).reshape(n_w, area, c)[:n_w0], probs
     out = pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((nh, n_w, area, hd), q.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tw, area, hd), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tw, hd, n_total), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tw, n_total, hd), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, area, n_total), lambda h, i: (h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tw, n_total), lambda h, i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tw, area, hd), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        in_specs=in_specs,
+        out_specs=out_spec,
         interpret=interpret,
-    )(qh, kt, vh, bias.astype(jnp.float32), mask.astype(jnp.float32))
+    )(qh, kt, vh, bias.astype(jnp.float32), mask_p.astype(jnp.float32))
     # (nh, nW, 49, hd) -> (nW, 49, C)
     return out.transpose(1, 2, 0, 3).reshape(n_w, area, c)[:n_w0]
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "interpret"))
+def _cfm_attention_bwd_pallas(q, ks, vs, mask, probs, g, nh: int,
+                              interpret: bool = False):
+    """Gradients (dq, dks, dvs, dbias) from the saved probabilities."""
+    n_w0, area, c = q.shape
+    hd = c // nh
+    scale = hd**-0.5
+    qh, kt, vh, _, n_w, n_total = _head_major(q, ks, vs, mask, nh)
+    if n_w != n_w0:  # padded windows carry zero cotangent
+        g = jnp.pad(g, [(0, n_w - n_w0), (0, 0), (0, 0)])
+    gh = g.reshape(n_w, area, nh, hd).transpose(2, 0, 1, 3)
+
+    grid = (nh, n_w // _TW)
+    blk = lambda shape: pl.BlockSpec(shape, lambda h, i: (h, i, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    dq_h, dk_h, dv_h, dbias = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(
+            # dq/dk/dv in the compute dtype: the downstream group splits and
+            # head-merge transposes then move half the bytes (f32 outputs
+            # cost 1.4 ms/step in slices alone)
+            jax.ShapeDtypeStruct((nh, n_w, area, hd), q.dtype),
+            jax.ShapeDtypeStruct((nh, n_w, n_total, hd), q.dtype),
+            jax.ShapeDtypeStruct((nh, n_w, n_total, hd), q.dtype),
+            jax.ShapeDtypeStruct((nh, area, n_total), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            blk((1, _TW, area, n_total)),   # probs
+            blk((1, _TW, area, hd)),        # g
+            blk((1, _TW, area, hd)),        # q·scale
+            blk((1, _TW, hd, n_total)),     # kᵀ
+            blk((1, _TW, n_total, hd)),     # v
+        ],
+        out_specs=(
+            blk((1, _TW, area, hd)),
+            blk((1, _TW, n_total, hd)),
+            blk((1, _TW, n_total, hd)),
+            # dbias block revisited across window tiles (accumulation)
+            pl.BlockSpec((1, area, n_total), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(probs, gh, qh, kt, vh)
+
+    dq = (dq_h * scale).transpose(1, 2, 0, 3).reshape(n_w, area, c)[:n_w0]
+    dk = dk_h.transpose(1, 2, 0, 3).reshape(n_w, n_total, c)[:n_w0]
+    dv = dv_h.transpose(1, 2, 0, 3).reshape(n_w, n_total, c)[:n_w0]
+    gsizes = [int(k.shape[1]) for k in ks]
+    offs = np.cumsum([0] + gsizes)
+    dks = tuple(dk[:, offs[i]:offs[i + 1]].astype(ks[i].dtype) for i in range(len(ks)))
+    dvs = tuple(dv[:, offs[i]:offs[i + 1]].astype(vs[i].dtype) for i in range(len(vs)))
+    return dq.astype(q.dtype), dks, dvs, dbias
 
 
 def _cfm_attention_xla(q, ks, vs, bias, mask, nh: int):
@@ -155,18 +302,34 @@ def _cfm_attention_xla(q, ks, vs, bias, mask, nh: int):
     return out.transpose(0, 2, 1, 3).reshape(n_w, area, c)
 
 
-# --- differentiable Pallas wrapper: XLA-formulation VJP ---------------------
+# --- differentiable Pallas wrapper ------------------------------------------
+# forward kernel + hand-written backward kernel from saved probabilities.
+# _BWD='xla' falls back to the VJP of the (identical-math) XLA formulation —
+# the correctness oracle for the backward kernel.
+_BWD = "kernel"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _cfm_attention_pallas(q, ks, vs, bias, mask, nh: int):
     return _cfm_attention_pallas_impl(q, tuple(ks), tuple(vs), bias, mask, nh)
 
 
 def _cfm_fwd(q, ks, vs, bias, mask, nh: int):
-    return _cfm_attention_pallas(q, ks, vs, bias, mask, nh), (q, ks, vs, bias, mask)
+    if _BWD == "kernel":
+        out, probs = _cfm_attention_pallas_impl(
+            q, tuple(ks), tuple(vs), bias, mask, nh, with_probs=True)
+        return out, (q, ks, vs, bias, mask, probs)
+    return _cfm_attention_pallas(q, ks, vs, bias, mask, nh), (q, ks, vs, bias, mask, None)
 
 
 def _cfm_bwd(nh: int, res, g):
-    q, ks, vs, bias, mask = res
+    q, ks, vs, bias, mask, probs = res
+    if probs is not None:
+        dq, dks, dvs, dbias = _cfm_attention_bwd_pallas(
+            q, tuple(ks), tuple(vs), mask, probs, g, nh)
+        # bias enters pre-softmax exactly like scores; mask is a constant
+        # geometry table (−100 pads): its cotangent is discarded upstream
+        return dq, dks, dvs, dbias.astype(bias.dtype), jnp.zeros_like(mask)
     # exact-softmax attention: the XLA formulation computes the same function,
     # so its VJP is the correct gradient for the kernel's output
     _, vjp = jax.vjp(lambda *a: _cfm_attention_xla(*a, nh), q, ks, vs, bias, mask)
@@ -180,11 +343,11 @@ def cfm_attention(q, ks, vs, bias, mask, nh: int, force: str | None = None,
                   train: bool = False):
     """force: None (auto) | 'pallas' | 'xla' | 'interpret'.
 
-    Auto policy: the Pallas kernel for TPU *inference*; the XLA streaming
-    formulation for training and off-TPU. The kernel is differentiable (its
-    custom_vjp replays the XLA formulation), but that replay re-runs the
-    whole attention forward inside the backward pass — measured ~+7 ms on
-    the CFFM-B1 train step — so training prefers XLA's own linearization.
+    Auto policy: the Pallas kernels on TPU for both inference and training —
+    the forward saves the softmax probabilities and the backward kernel
+    consumes them directly (no recompute/replay); off-TPU uses the XLA
+    streaming formulation. ``train`` is accepted for call-site symmetry with
+    ``dwconv3x3`` (both paths are now kernel-served).
     """
     if force == "interpret":
         return _cfm_attention_pallas_impl(q, tuple(ks), tuple(vs), bias, mask, nh, interpret=True)
@@ -193,6 +356,6 @@ def cfm_attention(q, ks, vs, bias, mask, nh: int, force: str | None = None,
     if force == "xla":
         return _cfm_attention_xla(q, ks, vs, bias, mask, nh)
     platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon") and not train:
+    if platform in ("tpu", "axon"):
         return _cfm_attention_pallas(q, tuple(ks), tuple(vs), bias, mask, nh)
     return _cfm_attention_xla(q, ks, vs, bias, mask, nh)
