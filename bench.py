@@ -31,7 +31,7 @@ BASELINE_FPS = 60.0
 
 def main():
     shape = (480, 480)
-    iters = int(os.environ.get("BENCH_ITERS", "100"))
+    iters = int(os.environ.get("BENCH_ITERS", "200"))
     warmup = 5
 
     model = CFFMSegmentor(build_model_config("b1"), dtype=jnp.bfloat16)
