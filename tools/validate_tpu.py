@@ -48,6 +48,19 @@ def kernel_parity(rng) -> dict:
     out["cfm_kernel_max_err"] = float(np.abs(got - want).max())
     assert out["cfm_kernel_max_err"] < 0.05, out  # bf16 AV tolerance
 
+    # backward kernel on hardware: the dbias accumulation revisits its output
+    # block across grid steps — semantics that interpret mode cannot prove
+    def loss(force):
+        return lambda q, ks, vs, b: jnp.sum(
+            cfm_attention(q, ks, vs, b, mask, nh, force=force).astype(jnp.float32) ** 2)
+
+    gp = jax.jit(jax.grad(loss("pallas"), argnums=(0, 1, 2, 3)))(q, ks, vs, bias)
+    gx = jax.jit(jax.grad(loss("xla"), argnums=(0, 1, 2, 3)))(q, ks, vs, bias)
+    errs = [float(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).max())
+            for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gx))]
+    out["cfm_bwd_kernel_max_err"] = max(errs)
+    assert out["cfm_bwd_kernel_max_err"] < 0.7, out  # bf16 grads, values O(50)
+
     # fused CE on upsampled logits (training loss path)
     import vss_cffm_tpu.ops.ce_upsampled as ce
 
