@@ -110,8 +110,6 @@ def test_full_segmentor_matches_reference_modules(rng):
     ``convert_segmentor``-mapped weights — backbone, per-frame MLP decode,
     SyncBN linear_fuse, CFFM decoder, refined-frame prediction, eval output
     path (reference ``cffm_head.py:41-157``, ``encoder_decoder.py:367-378``)."""
-    import dataclasses
-
     from ref_modules import ref_cffm_head
     from vss_cffm_tpu.models import CFFMSegmentor, build_model_config
     from vss_cffm_tpu.utils.torch_convert import convert_segmentor
