@@ -54,8 +54,9 @@ class TrainLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
-        # 0 workers means "no parallelism", not "no pool": clamp to one thread
-        self.num_workers = max(1, num_workers)
+        # 0 workers = synchronous in-caller loading (DataLoader convention);
+        # >=1 = that many decode threads behind a prefetch queue
+        self.num_workers = num_workers
         self.prefetch = prefetch
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -74,8 +75,24 @@ class TrainLoader:
                 yield epoch, int(i)
             epoch += 1
 
+    def _batch_of(self, items: list[dict]) -> dict:
+        return {
+            "imgs": np.stack([b["imgs"] for b in items]),
+            "labels": np.stack([b["labels"] for b in items]),
+            "videos": [b["video"] for b in items],
+        }
+
     def __iter__(self) -> Iterator[dict]:
         stream = self._index_stream()
+        if self.num_workers == 0:  # synchronous: load each batch in-caller
+            while True:
+                items = []
+                for _ in range(self.batch_size):
+                    epoch, idx = next(stream)
+                    rng = _sample_rng(self.seed, epoch, idx)
+                    items.append(self.dataset.get_train_item(
+                        idx, rng, not self.device_normalize))
+                yield self._batch_of(items)
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -94,11 +111,7 @@ class TrainLoader:
                                             not self.device_normalize)
                             )
                         batch_items = [pending.pop(0).result() for _ in range(self.batch_size)]
-                        batch = {
-                            "imgs": np.stack([b["imgs"] for b in batch_items]),
-                            "labels": np.stack([b["labels"] for b in batch_items]),
-                            "videos": [b["video"] for b in batch_items],
-                        }
+                        batch = self._batch_of(batch_items)
                         # bounded put that stays responsive to consumer exit
                         while not stop.is_set():
                             try:

@@ -21,9 +21,9 @@ API::
 
     nll_ph, pred_ph = ce_upsampled_nll(logits, labels_ph, scale)
       logits    (N, h, w, C)  f32/bf16
-      labels_ph (N, s*s, h, w) int32 — see ``labels_to_phase``
-      nll_ph    (N, s*s, h, w) f32 — lse(up) − up[label] per pixel
-      pred_ph   (N, s*s, h, w) int32 — argmax (first max, torch tie order)
+      labels_ph (N, h, s*s, w) int32 — see ``labels_to_phase``
+      nll_ph    (N, h, s*s, w) f32 — lse(up) − up[label] per pixel
+      pred_ph   (N, h, s*s, w) int32 — argmax (first max, torch tie order)
 
 ``ce_upsampled_nll`` carries a custom VJP (grad wrt logits; the backward is
 a second Pallas kernel). ``ce_upsampled_nll_xla`` is the identical-math XLA

@@ -183,7 +183,8 @@ def _cfm_attention_pallas_impl(q, ks, vs, bias, mask, nh: int,
             _kernel_with_p,
             out_shape=(
                 jax.ShapeDtypeStruct((nh, n_w, area, hd), q.dtype),
-                jax.ShapeDtypeStruct((nh, n_w, area, n_total), q.dtype),
+                jax.ShapeDtypeStruct((nh, n_w, area, n_total),
+                                     _PROBS_DTYPE or q.dtype),
             ),
             grid=grid,
             in_specs=in_specs,
@@ -307,6 +308,15 @@ def _cfm_attention_xla(q, ks, vs, bias, mask, nh: int):
 # _BWD='xla' falls back to the VJP of the (identical-math) XLA formulation —
 # the correctness oracle for the backward kernel.
 _BWD = "kernel"
+
+# Residual dtype for the saved softmax probabilities. None = q.dtype, i.e.
+# bf16 in the bf16 train config: the backward consumes probs rounded to bf16
+# while the forward used f32 in-VMEM — ≤1% relative gradient error (on-device
+# parity in tools/validate_tpu.py stays within 0.7 abs on O(50) grads, and the
+# attention grads are themselves downstream of bf16 matmuls of similar noise).
+# Set to jnp.float32 to rule the residual out when chasing convergence drift,
+# at 2× the residual HBM write+read.
+_PROBS_DTYPE = None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
