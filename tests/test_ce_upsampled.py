@@ -88,3 +88,27 @@ def test_fused_city_loss_matches_fallback(rng, monkeypatch):
     want = losses.clip_ce_loss_city(logits, labels)
     np.testing.assert_allclose(float(got["loss_seg"]), float(want["loss_seg"]), rtol=2e-5)
     np.testing.assert_allclose(float(got["acc_seg"]), float(want["acc_seg"]), rtol=1e-6)
+
+
+def test_fused_clip_loss_class_weight_and_ohem_match_fallback(rng, monkeypatch):
+    """The config-reachable loss options (class_weight, OHEM, loss_weight)
+    must agree between the fused kernel path and the XLA resize path."""
+    b, t, h, w, c, s = 1, 4, 8, 8, 19, 4
+    logits = jnp.asarray(rng.randn(b, t + 1, h, w, c).astype(np.float32))
+    labels = rng.randint(0, c, (b, t, h * s, w * s)).astype(np.int32)
+    labels[rng.rand(*labels.shape) < 0.15] = 255
+    labels = jnp.asarray(labels)
+    cw = jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)
+    kwargs = dict(class_weight=cw, loss_weight=0.7,
+                  use_ohem=True, ohem_cfg={"thresh": 0.9, "min_kept": 50})
+
+    monkeypatch.setattr(losses, "_FORCE_FUSED", True)
+    got = losses.clip_ce_loss(logits, labels, **kwargs)
+    gg = jax.grad(lambda x: losses.clip_ce_loss(x, labels, **kwargs)["loss_seg"])(logits)
+    monkeypatch.setattr(losses, "_FORCE_FUSED", False)
+    want = losses.clip_ce_loss(logits, labels, **kwargs)
+    gw = jax.grad(lambda x: losses.clip_ce_loss(x, labels, **kwargs)["loss_seg"])(logits)
+
+    np.testing.assert_allclose(float(got["loss_seg"]), float(want["loss_seg"]), rtol=2e-5)
+    np.testing.assert_allclose(float(got["acc_seg"]), float(want["acc_seg"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), rtol=3e-4, atol=1e-7)

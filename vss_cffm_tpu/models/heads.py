@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..ops.resize import resize_bilinear
 from .cffm_transformer import CFFMDecoder, CFFMDecoderConfig
 from .cluster_head import ClusterDecoder
+from .losses import LossConfig
 from .mit import _dense_init
 
 __all__ = ["CFFMHeadConfig", "SegFormerHead", "CFFMHead"]
@@ -52,6 +53,9 @@ class CFFMHeadConfig:
     # and stop-gradients the CFFM path (``cffm_head.py:514-518``).
     mode: str = "cffm"
     cluster_blend: float = 0.5  # eval output x2 + blend*x3 (``cffm_head.py:532``)
+    # ``loss_decode``/``sampler`` surface (reference ``decode_head.py:64-101``),
+    # consumed by ``train.step.make_train_step``
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
 
 
 class _Proj(nn.Module):

@@ -19,6 +19,9 @@ Logits here are NHWC: (..., H, W, num_classes); labels are (..., H, W) int32.
 
 from __future__ import annotations
 
+import dataclasses
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -26,6 +29,8 @@ from ..ops.resize import resize_bilinear
 from ..ops import ce_upsampled as _ceu
 
 __all__ = [
+    "LossConfig",
+    "make_clip_loss",
     "cross_entropy",
     "accuracy",
     "clip_ce_loss",
@@ -33,6 +38,46 @@ __all__ = [
     "ohem_weight",
     "lovasz_softmax",
 ]
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """The ``loss_decode``/``sampler`` surface of the reference head config
+    (``decode_head.py:64-101``): every live CFFM config ships
+    ``CrossEntropyLoss(loss_weight=1.0)`` with ``sampler=None``, but the
+    reference accepts ``class_weight``/``loss_weight`` variants, a Lovász
+    loss (``lovasz_loss.py:225``) and an OHEM pixel sampler
+    (``ohem_pixel_sampler.py:44-63``). Consumed by ``make_clip_loss`` /
+    ``train.step.make_train_step``.
+    """
+
+    type: str = "ce"  # 'ce' | 'lovasz'
+    loss_weight: float = 1.0
+    class_weight: tuple[float, ...] | None = None
+    # OHEM pixel sampler (≙ sampler=dict(type='OHEMPixelSampler', ...))
+    use_ohem: bool = False
+    ohem_thresh: float = 0.7
+    ohem_min_kept: int = 100000
+
+
+def make_clip_loss(cfg: LossConfig, ignore_index: int = 255):
+    """LossConfig → ``(seg_logits, seg_labels) -> {loss_seg, acc_seg}``."""
+    if cfg.type == "lovasz":
+        def lovasz_loss(seg_logits, seg_labels):
+            return clip_lovasz_loss(seg_logits, seg_labels, ignore_index,
+                                    loss_weight=cfg.loss_weight)
+        return lovasz_loss
+    if cfg.type != "ce":
+        raise ValueError(f"unknown loss type {cfg.type!r}")
+    cw = None if cfg.class_weight is None else jnp.asarray(cfg.class_weight, jnp.float32)
+    return functools.partial(
+        clip_ce_loss,
+        ignore_index=ignore_index,
+        use_ohem=cfg.use_ohem,
+        ohem_cfg={"thresh": cfg.ohem_thresh, "min_kept": cfg.ohem_min_kept},
+        class_weight=cw,
+        loss_weight=cfg.loss_weight,
+    )
 
 
 def cross_entropy(
@@ -98,14 +143,25 @@ def ohem_weight(
     safe = jnp.where(valid, labels, 0)
     prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     gt_prob = jnp.take_along_axis(prob, safe[..., None], axis=-1)[..., 0]
+    n_imgs = labels.shape[0] if labels.ndim > 2 else 1
+    return _ohem_from_gt_prob(gt_prob, valid, thresh, min_kept, n_imgs)
+
+
+def _ohem_from_gt_prob(gt_prob, valid, thresh: float, min_kept: int,
+                       n_imgs: int) -> jnp.ndarray:
+    """OHEM weight map from the gt-class probability (any pixel layout —
+    the sort and threshold are permutation-invariant)."""
     gt_prob = jnp.where(valid, gt_prob, jnp.inf)
     flat = jnp.sort(gt_prob.reshape(-1))
-    batch_kept = min_kept * (labels.shape[0] if labels.ndim > 2 else 1)
+    batch_kept = min_kept * n_imgs
     n_valid = jnp.sum(valid)
     k = jnp.clip(jnp.minimum(batch_kept, n_valid - 1), 0, flat.shape[0] - 1)
     min_threshold = jnp.where(n_valid > 0, jnp.take(flat, k), 0.0)
     eff_thresh = jnp.maximum(min_threshold, thresh)
-    return (valid & (gt_prob < eff_thresh)).astype(jnp.float32)
+    # sampler runs under no_grad in the reference; the boolean threshold has
+    # no gradient path anyway — stop_gradient states the intent
+    return jax.lax.stop_gradient(
+        (valid & (gt_prob < eff_thresh)).astype(jnp.float32))
 
 
 def lovasz_softmax(
@@ -176,14 +232,10 @@ def _fused_ce_applicable(logits: jnp.ndarray, labels: jnp.ndarray) -> bool:
     return jax.devices()[0].platform in ("tpu", "axon")
 
 
-def clip_ce_loss(
-    seg_logits: jnp.ndarray,  # (B, T', h, w, C)
-    seg_labels: jnp.ndarray,  # (B, T, H, W) int32
-    ignore_index: int = 255,
-    use_ohem: bool = False,
-    ohem_cfg: dict | None = None,
-) -> dict[str, jnp.ndarray]:
-    """The clip loss case table of ``BaseDecodeHead_clips_flow.losses``."""
+def _split_clip_cases(seg_logits, seg_labels):
+    """The T'∈{T+1, T+3, 2T, 2T+1} case table of
+    ``BaseDecodeHead_clips_flow.losses`` → (logit_ori, logit_last,
+    label_ori, label_last), frame-flattened."""
     tp = seg_logits.shape[1]
     tl = seg_labels.shape[1]
     if tp == tl + 1:  # CFFM / CFFM++ train output
@@ -203,28 +255,63 @@ def clip_ce_loss(
         label_last = jnp.concatenate([seg_labels[:, -1:]] * 2, axis=1)
     else:
         raise ValueError(f"unsupported logits/labels clip lengths {tp}/{tl}")
+    return (_flatten_frames(logit_ori), _flatten_frames(logit_last),
+            _flatten_frames(label_ori), _flatten_frames(label_last))
 
+
+def clip_ce_loss(
+    seg_logits: jnp.ndarray,  # (B, T', h, w, C)
+    seg_labels: jnp.ndarray,  # (B, T, H, W) int32
+    ignore_index: int = 255,
+    use_ohem: bool = False,
+    ohem_cfg: dict | None = None,
+    class_weight: jnp.ndarray | None = None,
+    loss_weight: float = 1.0,
+) -> dict[str, jnp.ndarray]:
+    """The clip loss case table of ``BaseDecodeHead_clips_flow.losses``:
+    ``loss_weight·(0.5·CE(ori) + CE(last))`` with optional per-class weights
+    (``cross_entropy_loss.py:141-200``) and the OHEM pixel sampler (the
+    reference's clip-head ``sampler`` hook is dead code — it feeds the 5-d
+    raw logits into a 4-d sampler and is ``None`` in every live config; here
+    OHEM follows the image-path sampler semantics, per branch on the
+    upsampled logits)."""
+    logit_ori, logit_last, label_ori, label_last = _split_clip_cases(
+        seg_logits, seg_labels)
     size = seg_labels.shape[2:4]
-    logit_ori = _flatten_frames(logit_ori)
-    logit_last = _flatten_frames(logit_last)
-    label_ori = _flatten_frames(label_ori)
-    label_last = _flatten_frames(label_last)
 
-    if not use_ohem and _fused_ce_applicable(logit_ori, label_ori):
+    if _fused_ce_applicable(logit_ori, label_ori):
         # fused Pallas path: per-pixel NLL/argmax straight from the 1/4-res
         # logits; the upsampled (H, W, C) tensor never reaches HBM.
         # Identical semantics: CE sums masked NLL over *all* pixels, and
         # accuracy counts ignored pixels as incorrect (label 255 ≠ any pred).
+        # class_weight scales nll by cw[label]; OHEM's gt-class probability
+        # is exactly exp(−nll) (nll = lse − x_label), so the sampler needs no
+        # extra softmax pass.
         s = label_ori.shape[1] // logit_ori.shape[1]
         n_ori = logit_ori.shape[0]
         logits_all = jnp.concatenate([logit_ori, logit_last], axis=0)
         labels_ph = _ceu.labels_to_phase(
             jnp.concatenate([label_ori, label_last], axis=0), s)
         nll, pred = _ceu.ce_upsampled_nll(logits_all, labels_ph, s)
-        nll = jnp.where(labels_ph != ignore_index, nll, 0.0)
-        loss = 0.5 * nll[:n_ori].mean() + nll[n_ori:].mean()
+        valid = labels_ph != ignore_index
         acc = 100.0 * jnp.mean(
             (pred[:n_ori] == labels_ph[:n_ori]).astype(jnp.float32))
+        if use_ohem:
+            cfg = ohem_cfg or {}
+            w = jnp.concatenate([
+                _ohem_from_gt_prob(jnp.exp(-nll[:n_ori]), valid[:n_ori],
+                                   cfg.get("thresh", 0.7),
+                                   cfg.get("min_kept", 100000), n_ori),
+                _ohem_from_gt_prob(jnp.exp(-nll[n_ori:]), valid[n_ori:],
+                                   cfg.get("thresh", 0.7),
+                                   cfg.get("min_kept", 100000),
+                                   nll.shape[0] - n_ori),
+            ], axis=0)
+            nll = nll * w
+        if class_weight is not None:
+            nll = nll * class_weight[jnp.where(valid, labels_ph, 0)]
+        nll = jnp.where(valid, nll, 0.0)
+        loss = loss_weight * (0.5 * nll[:n_ori].mean() + nll[n_ori:].mean())
         return {"loss_seg": loss, "acc_seg": acc}
 
     logit_ori = resize_bilinear(logit_ori, size)
@@ -235,10 +322,32 @@ def clip_ce_loss(
         weight_ori = ohem_weight(logit_ori, label_ori, ignore_index, **(ohem_cfg or {}))
         weight_last = ohem_weight(logit_last, label_last, ignore_index, **(ohem_cfg or {}))
     loss = 0.5 * cross_entropy(
-        logit_ori, label_ori, ignore_index, pixel_weight=weight_ori
-    ) + cross_entropy(logit_last, label_last, ignore_index, pixel_weight=weight_last)
+        logit_ori, label_ori, ignore_index, class_weight, pixel_weight=weight_ori
+    ) + cross_entropy(logit_last, label_last, ignore_index, class_weight,
+                      pixel_weight=weight_last)
     return {
-        "loss_seg": loss,
+        "loss_seg": loss_weight * loss,
+        "acc_seg": accuracy(logit_ori, label_ori),
+    }
+
+
+def clip_lovasz_loss(
+    seg_logits: jnp.ndarray,
+    seg_labels: jnp.ndarray,
+    ignore_index: int = 255,
+    loss_weight: float = 1.0,
+) -> dict[str, jnp.ndarray]:
+    """Clip case table with ``LovaszLoss`` as ``loss_decode``
+    (``lovasz_loss.py:225``, multi_class, per_image=False)."""
+    logit_ori, logit_last, label_ori, label_last = _split_clip_cases(
+        seg_logits, seg_labels)
+    size = seg_labels.shape[2:4]
+    logit_ori = resize_bilinear(logit_ori, size)
+    logit_last = resize_bilinear(logit_last, size)
+    loss = 0.5 * lovasz_softmax(logit_ori, label_ori, ignore_index) + \
+        lovasz_softmax(logit_last, label_last, ignore_index)
+    return {
+        "loss_seg": loss_weight * loss,
         "acc_seg": accuracy(logit_ori, label_ori),
     }
 

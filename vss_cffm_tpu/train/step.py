@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.transforms import IMG_MEAN, IMG_STD
-from ..models.losses import clip_ce_loss
+from ..models.losses import LossConfig, make_clip_loss
 from .state import TrainState
 
 __all__ = ["make_train_step", "make_eval_step", "device_normalize"]
@@ -49,7 +49,14 @@ def make_train_step(
 
     ``batch`` = {"imgs": (B,T,H,W,3) f32, "labels": (B,T,H,W) i32} and
     optionally "cluster_centers" (B, n, C) for CFFM++ finetune.
+
+    The loss is built from the head's ``LossConfig`` (CE with optional
+    class weights / OHEM sampler, or Lovász — the reference ``loss_decode``
+    surface, ``decode_head.py:64-101``).
     """
+    loss_cfg = getattr(getattr(model, "config", None), "head", None)
+    loss_cfg = getattr(loss_cfg, "loss", None) or LossConfig()
+    loss_of = make_clip_loss(loss_cfg, ignore_index)
 
     def step(state: TrainState, batch, rng):
         rngs = {
@@ -70,7 +77,7 @@ def make_train_step(
                 rngs=rngs,
                 mutable=["batch_stats"],
             )
-            losses = clip_ce_loss(out, batch["labels"], ignore_index)
+            losses = loss_of(out, batch["labels"])
             return losses["loss_seg"], (losses, mutated["batch_stats"])
 
         grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
