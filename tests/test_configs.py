@@ -41,6 +41,23 @@ def test_config_builds(path):
         int(__import__("numpy").prod(l.shape)) for l in jax.tree.leaves(shapes["params"])
     )
     assert n_params > 1e5
+    # train-mode trace too (dropout/droppath rngs, clip-loss-shaped output)
+    train_shapes = jax.eval_shape(
+        lambda k, x: model.init({"params": k, "dropout": k, "droppath": k},
+                                x, True, **kwargs),
+        jax.random.PRNGKey(0), sample,
+    )
+    assert "params" in train_shapes
+
+
+def test_config_matrix_complete():
+    """The reference ships 12 live configs — B{0,1,2,5} x {160k base,
+    gene_prototype, fine_w_proto.40k} (``local_configs/cffm/B*/``).
+    All 12 must exist here under the same naming scheme."""
+    names = {os.path.basename(p) for p in CONFIGS}
+    for v in ("b0", "b1", "b2", "b5"):
+        for suffix in ("160k", "finetune_40k", "gene_prototype"):
+            assert f"cffm_{v}_vspw_{suffix}.py" in names
 
 
 def test_overrides_on_every_config():

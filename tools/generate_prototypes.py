@@ -35,13 +35,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
     ap.add_argument("checkpoint")
-    ap.add_argument("--cluster-dir", default="./cluster_centers")
-    ap.add_argument("--n-clusters", type=int, default=100)
-    ap.add_argument("--num-frames", type=int, default=10)
+    ap.add_argument("--cluster-dir", default=None,
+                    help="default: cfg.cluster_dir")
+    ap.add_argument("--n-clusters", type=int, default=None,
+                    help="default: cfg.proto.n_clusters")
+    ap.add_argument("--num-frames", type=int, default=None,
+                    help="default: cfg.proto.num_frames")
     ap.add_argument("--options", nargs="*", default=[])
     args = ap.parse_args()
 
     cfg = apply_overrides(load_config(args.config), args.options)
+    # CLI flags override the config's ProtoConfig (the _gene_prototype file)
+    cluster_dir = args.cluster_dir or cfg.cluster_dir
+    n_clusters = args.n_clusters or cfg.proto.n_clusters
+    num_frames = args.num_frames or cfg.proto.num_frames
     logger = get_logger()
     model = CFFMSegmentor(cfg.model, dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32)
     dataset = VSPWVideoDataset(cfg.data.data_root, "train_val_generate_prototype",
@@ -54,9 +61,10 @@ def main():
     state = TrainState.create(variables, tx)
     params, batch_stats = CheckpointManager(args.checkpoint).load_params(state)
 
-    logger.info(f"generating prototypes for {len(dataset)} videos -> {args.cluster_dir}")
-    generate_prototypes(model, params, batch_stats, dataset, args.cluster_dir,
-                        n_clusters=args.n_clusters, num_frames=args.num_frames)
+    logger.info(f"generating prototypes for {len(dataset)} videos -> {cluster_dir}")
+    generate_prototypes(model, params, batch_stats, dataset, cluster_dir,
+                        n_clusters=n_clusters, max_iter=cfg.proto.kmeans_iters,
+                        num_frames=num_frames)
     logger.info("done")
 
 

@@ -21,7 +21,8 @@ from typing import Any
 from .models.segmentor import SegmentorConfig, build_model_config
 from .train.optim import OptimConfig
 
-__all__ = ["DataConfig", "ExperimentConfig", "load_config", "apply_overrides"]
+__all__ = ["DataConfig", "ProtoConfig", "ExperimentConfig", "load_config",
+           "apply_overrides"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,10 +37,23 @@ class DataConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ProtoConfig:
+    """CFFM++ phase-A prototype generation (the ``_gene_prototype`` configs,
+    reference ``cffm.bX...vspw2_gene_prototype.py`` +
+    ``cffm_head.py:161-301``): k-means over fused 1/8 features of
+    ``num_frames`` uniformly-sampled frames per video."""
+
+    n_clusters: int = 100
+    num_frames: int = 10
+    kmeans_iters: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
 class ExperimentConfig:
     model: SegmentorConfig = dataclasses.field(default_factory=lambda: build_model_config("b1"))
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    proto: ProtoConfig = dataclasses.field(default_factory=ProtoConfig)
     work_dir: str = "work_dirs/default"
     log_interval: int = 50
     checkpoint_interval: int = 4000
