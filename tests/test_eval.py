@@ -168,3 +168,41 @@ def test_prototype_generation_and_store(vspw_root, tmp_path):
     assert c.shape == (7, 32) and m.all()
     centers, masks = store.batch(["vid_a", "vid_b"])
     assert centers.shape == (2, 7, 32) and masks.shape == (2, 7)
+
+
+def test_format_class_table():
+    from vss_cffm_tpu.eval.metrics import format_class_table
+
+    cm = np.zeros((3, 3), np.int64)
+    cm[0, 0] = 8
+    cm[0, 1] = 2  # class 0: IoU 8/10, Acc 80%
+    cm[1, 1] = 5  # class 1: union 5+2, IoU 5/7
+    # class 2 absent -> nan row
+    table = format_class_table(cm, ["road", "sky", "void"])
+    assert "per class results:" in table and "Summary:" in table
+    road = next(l for l in table.splitlines() if "road" in l)
+    assert "80.00" in road
+    sky = next(l for l in table.splitlines() if "sky" in l)
+    assert f"{100 * 5 / 7:.2f}" in sky
+    void = next(l for l in table.splitlines() if "void" in l)
+    assert "nan" in void
+
+
+def test_evaluator_set_params_no_retrace(rng):
+    """set_params must change predictions (params are jit args, not baked
+    constants) and must not grow the jit compile cache."""
+    model = tiny_segmentor()
+    x = jnp.asarray(rng.randn(1, 4, 64, 64, 3).astype(np.float32))
+    v0 = model.init(jax.random.PRNGKey(0), x)
+    v1 = model.init(jax.random.PRNGKey(7), x)
+
+    ev = ClipEvaluator(model, v0["params"], v0["batch_stats"], num_classes=5)
+    item = {"imgs": np.asarray(x[0]), "ori_shape": (64, 64), "video": "v"}
+    p0 = np.asarray(ev.predict(item))
+    n_compiles = ev._predict._cache_size()
+    ev.set_params(v1["params"], v1["batch_stats"])
+    ev.reset()
+    assert ev.confusion.sum() == 0
+    p1 = np.asarray(ev.predict(item))
+    assert ev._predict._cache_size() == n_compiles  # no retrace
+    assert (p0 != p1).any()  # new weights actually used

@@ -143,9 +143,13 @@ def main():
                 preds[item["index"]] = pred.astype(np.uint8)
 
     save_dir = args.show_dir if args.format_only else None
+    tc = cfg.model.test_cfg  # ≙ reference test_cfg=dict(mode='whole'|'slide', ...)
     if args.streaming:
         from vss_cffm_tpu.eval.evaluator import StreamingVideoEvaluator
 
+        if tc.mode != "whole":
+            logger.warning("--streaming uses whole-image inference; ignoring "
+                           f"test_cfg.mode={tc.mode!r} (drop --streaming for slide)")
         evaluator = StreamingVideoEvaluator(model, params, batch_stats,
                                             cfg.model.head.num_classes,
                                             cluster_store=store,
@@ -159,7 +163,9 @@ def main():
         from vss_cffm_tpu.data import iterate_eval_tta
 
         evaluator = ClipEvaluator(model, params, batch_stats,
-                                  cfg.model.head.num_classes, cluster_store=store)
+                                  cfg.model.head.num_classes, cluster_store=store,
+                                  mode=tc.mode, crop_size=tc.crop_size,
+                                  stride=tc.stride)
         iterate = iterate_eval_tta if args.aug_test else iterate_eval
         items = iterate(dataset, num_workers=cfg.data.num_workers,
                         shard_id=proc_id, num_shards=n_procs, normalize=normalize)
@@ -168,6 +174,13 @@ def main():
     evaluator.aggregate_across_processes()
     metrics = evaluator.summary(with_vc=args.vc)
     summary = {k: v for k, v in metrics.items() if np.isscalar(v) or isinstance(v, float)}
+    if args.eval and proc_id == 0:
+        # per-class IoU/Acc tables (reference ``custom.py:2678-2709``)
+        from vss_cffm_tpu.data.palette import VSPW_CLASSES
+        from vss_cffm_tpu.eval.metrics import format_class_table
+
+        names = VSPW_CLASSES if len(VSPW_CLASSES) == cfg.model.head.num_classes else None
+        logger.info("\n" + format_class_table(evaluator.confusion, names))
     logger.info(f"metrics: {summary}")
     if args.out:
         if dump_preds:

@@ -175,6 +175,7 @@ def main():
     start = int(state.step)
     t0 = time.time()
     window_losses = []
+    val_ds = val_eval = None  # built lazily at the first eval interval
     for it, batch in zip(range(start, cfg.optim.max_iters), loader):
         device_batch = {
             "imgs": batch["imgs"],
@@ -208,18 +209,29 @@ def main():
             from vss_cffm_tpu.eval import ClipEvaluator
 
             # each process evaluates its frame shard; confusion matrices are
-            # then summed across processes so every rank logs global metrics
-            val_ds = VSPWVideoDataset(cfg.data.data_root, "val",
-                                      dilation=cfg.data.dilation,
-                                      img_scale=cfg.data.img_scale)
-            host_state = jax.device_get(state)
-            ev = ClipEvaluator(model, host_state.params, host_state.batch_stats,
-                               cfg.model.head.num_classes, cluster_store=store)
-            ev.run(iterate_eval(val_ds, num_workers=cfg.data.num_workers,
-                                shard_id=proc_id, num_shards=n_procs),
-                   dataset=val_ds)
-            ev.aggregate_across_processes()
-            m = ev.summary()
+            # then summed across processes so every rank logs global metrics.
+            # dataset + evaluator persist across intervals (params are jit
+            # arguments, so set_params reuses the compiled forward; uint8
+            # items + device normalize as in tools/test.py)
+            if val_eval is None:
+                val_ds = VSPWVideoDataset(cfg.data.data_root, "val",
+                                          dilation=cfg.data.dilation,
+                                          img_scale=cfg.data.img_scale)
+                host_state = jax.device_get(state)
+                val_eval = ClipEvaluator(model, host_state.params,
+                                         host_state.batch_stats,
+                                         cfg.model.head.num_classes,
+                                         cluster_store=store)
+            else:
+                host_state = jax.device_get(state)
+                val_eval.set_params(host_state.params, host_state.batch_stats)
+                val_eval.reset()
+            val_eval.run(iterate_eval(val_ds, num_workers=cfg.data.num_workers,
+                                      shard_id=proc_id, num_shards=n_procs,
+                                      normalize=False),
+                         dataset=val_ds)
+            val_eval.aggregate_across_processes()
+            m = val_eval.summary()
             logger.info(f"eval @ {it + 1}: mIoU {m['mIoU']:.4f} "
                         f"mIoU_seen {m['mIoU_seen']:.4f} FWIoU {m['FWIoU']:.4f}")
 

@@ -136,8 +136,13 @@ class TrainLoader:
 
 def prefetch_map(fn, indices, num_workers: int = 4, prefetch: int = 8) -> Iterator:
     """Yield ``fn(i)`` for each index, keeping ``prefetch`` results in flight
-    on a thread pool (order-preserving)."""
+    on a thread pool (order-preserving). ``num_workers=0`` maps synchronously
+    in the caller (same convention as ``TrainLoader``)."""
     indices = list(indices)
+    if num_workers == 0:
+        for i in indices:
+            yield fn(i)
+        return
     with ThreadPoolExecutor(num_workers) as pool:
         pending = []
         it = iter(indices)

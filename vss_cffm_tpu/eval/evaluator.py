@@ -78,11 +78,28 @@ class ClipEvaluator:
         self._confusion_dev = jnp.zeros((num_classes, num_classes), jnp.int32)
         self._confusion_host = np.zeros((num_classes, num_classes), np.int64)
         self._frames_since_fold = 0
+        # params/batch_stats are jit *arguments*, not closure constants, so
+        # ``set_params`` (train-loop eval intervals) reuses the compiled fns
         self._predict = jax.jit(self._predict_impl, static_argnames=("ori_shape",))
         self._vc_preds: dict[str, list[np.ndarray]] = defaultdict(list)
         self._vc_gts: dict[str, list[np.ndarray]] = defaultdict(list)
 
-    def _predict_impl(self, imgs, ori_shape, cluster_centers=None):
+    def set_params(self, params, batch_stats) -> None:
+        """Swap in new weights (e.g. the next eval interval of a training
+        run) without retracing: the jitted fns take params as arguments."""
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.batch_stats = jax.tree.map(jnp.asarray, batch_stats)
+
+    def reset(self) -> None:
+        """Zero the accumulated confusion/VC state for a fresh eval pass."""
+        self._confusion_dev = jnp.zeros_like(self._confusion_dev)
+        self._confusion_host[:] = 0
+        self._frames_since_fold = 0
+        self._vc_preds.clear()
+        self._vc_gts.clear()
+
+    def _predict_impl(self, params, batch_stats, imgs, ori_shape,
+                      cluster_centers=None):
         if imgs.dtype == jnp.uint8:  # device-side normalization path
             from ..train.step import device_normalize
 
@@ -93,11 +110,11 @@ class ClipEvaluator:
         def logits_fn(clip):
             if image_arch:  # single-frame segmentor: evaluate the target frame
                 return self.model.apply(
-                    {"params": self.params, "batch_stats": self.batch_stats},
+                    {"params": params, "batch_stats": batch_stats},
                     clip[:, -1], False,
                 )
             return self.model.apply(
-                {"params": self.params, "batch_stats": self.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 clip, False, cluster_centers,
             )  # (1, h/4, w/4, C)
 
@@ -148,6 +165,7 @@ class ClipEvaluator:
             c, m = self.cluster_store(item["video"])
             centers = (jnp.asarray(c)[None], jnp.asarray(m)[None])
         pred = self._predict(
+            self.params, self.batch_stats,
             jnp.asarray(item["imgs"]), ori_shape=tuple(item["ori_shape"]),
             cluster_centers=centers,
         )
@@ -252,26 +270,26 @@ class StreamingVideoEvaluator(ClipEvaluator):
         self.max_lag = max_lag
         self.device_normalize = device_normalize
 
-        def _features(frames):
+        def _features(params, batch_stats, frames):
             if frames.dtype == jnp.uint8:
                 from ..train.step import device_normalize as dev_norm
 
                 frames = dev_norm(frames)
             return self.model.apply(
-                {"params": self.params, "batch_stats": self.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 frames, method=self.model.frame_features,
             )
 
         self._feat_fn = jax.jit(_features)
         self._head_fn = jax.jit(
-            lambda fused, centers: self.model.apply(
-                {"params": self.params, "batch_stats": self.batch_stats},
+            lambda params, batch_stats, fused, centers: self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
                 fused, centers, method=self.model.predict_from_features,
             )
         )
 
     def _predict_streamed(self, fused_clip, input_hw, ori_shape, centers):
-        logits = self._head_fn(fused_clip, centers)
+        logits = self._head_fn(self.params, self.batch_stats, fused_clip, centers)
         logits = resize_bilinear(logits, input_hw)
         logits = resize_bilinear(logits, ori_shape)
         return np.asarray(jnp.argmax(logits, axis=-1)[0])  # softmax is monotone
@@ -284,12 +302,15 @@ class StreamingVideoEvaluator(ClipEvaluator):
         VC well-defined per process)."""
         cache: dict[tuple[str, int], jnp.ndarray] = {}
         wanted = None if videos is None else set(videos)
+        frame_pos: dict[str, dict[str, int]] = {}  # video → {frame: position}
         for idx in range(len(dataset)):
             video, frame = dataset.frame_index[idx]
             if wanted is not None and video not in wanted:
                 continue
             frames_list = dataset.frames[video]
-            t = frames_list.index(frame)
+            if video not in frame_pos:
+                frame_pos[video] = {f: i for i, f in enumerate(frames_list)}
+            t = frame_pos[video][frame]
             item = dataset.get_test_item(idx, normalize=not self.device_normalize)
             imgs = item["imgs"]  # (T, H, W, 3)
             sample = dataset.sample_test_clip(idx)
@@ -298,7 +319,7 @@ class StreamingVideoEvaluator(ClipEvaluator):
             for pos, fi in enumerate(sample.frame_indices):
                 if (video, fi) not in cache:
                     cache[(video, fi)] = self._feat_fn(
-                        jnp.asarray(imgs[pos][None])
+                        self.params, self.batch_stats, jnp.asarray(imgs[pos][None])
                     )
             fused = jnp.stack(
                 [cache[(video, fi)][0] for fi in sample.frame_indices], axis=0

@@ -29,6 +29,7 @@ __all__ = [
     "confusion_matrix_np",
     "aggregate_confusion",
     "eval_metrics",
+    "format_class_table",
     "mean_iou_seen",
     "fwiou",
     "video_consistency",
@@ -110,6 +111,41 @@ def eval_metrics(cm: np.ndarray) -> dict[str, np.ndarray | float]:
         "mIoU": float(np.nanmean(iou)),
         "mAcc": float(np.nanmean(acc)),
     }
+
+
+def _ascii_table(rows: list[list[str]]) -> str:
+    """Grid-style ASCII table (the reference prints per-class results via
+    terminaltables.AsciiTable, ``custom.py:2700-2705`` — same shape, no dep)."""
+    widths = [max(len(str(r[c])) for r in rows) for c in range(len(rows[0]))]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [sep]
+    for i, row in enumerate(rows):
+        out.append("| " + " | ".join(str(v).ljust(w) for v, w in zip(row, widths)) + " |")
+        if i == 0:
+            out.append(sep)
+    out.append(sep)
+    return "\n".join(out)
+
+
+def format_class_table(cm: np.ndarray, class_names=None) -> str:
+    """Per-class IoU/Acc table + global summary (reference
+    ``custom.py:2678-2709``): values ×100, 2 decimals, nan printed as nan."""
+    m = eval_metrics(cm)
+    n = cm.shape[0]
+    names = class_names if class_names is not None else [str(i) for i in range(n)]
+
+    def fmt(x: float) -> str:
+        return "nan" if np.isnan(x) else f"{100.0 * x:.2f}"
+
+    class_rows = [["Class", "IoU", "Acc"]]
+    for i in range(n):
+        class_rows.append([names[i], fmt(m["IoU"][i]), fmt(m["Acc"][i])])
+    summary_rows = [
+        ["Scope", "mIoU", "mAcc", "aAcc"],
+        ["global", fmt(m["mIoU"]), fmt(m["mAcc"]), fmt(m["aAcc"])],
+    ]
+    return ("per class results:\n" + _ascii_table(class_rows)
+            + "\nSummary:\n" + _ascii_table(summary_rows))
 
 
 def mean_iou_seen(cm: np.ndarray) -> float:

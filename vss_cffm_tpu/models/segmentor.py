@@ -26,6 +26,7 @@ from .heads import CFFMHead, CFFMHeadConfig, SegFormerHead
 from .mit import MIT_VARIANTS, MiT, MiTConfig
 
 __all__ = [
+    "TestConfig",
     "SegmentorConfig",
     "CFFMSegmentor",
     "ImageSegmentor",
@@ -35,12 +36,24 @@ __all__ = [
 
 
 @dataclasses.dataclass(frozen=True)
+class TestConfig:
+    """Inference-mode selection ≙ the reference's ``test_cfg``
+    (``encoder_decoder.py:457-500``): 'whole' (every live CFFM config) or
+    'slide' with crop/stride windows whose probabilities are averaged."""
+
+    mode: str = "whole"  # 'whole' | 'slide'
+    crop_size: tuple[int, int] = (480, 480)
+    stride: tuple[int, int] = (320, 320)
+
+
+@dataclasses.dataclass(frozen=True)
 class SegmentorConfig:
     backbone: str = "mit_b1"
     head: CFFMHeadConfig = dataclasses.field(default_factory=CFFMHeadConfig)
     arch: str = "cffm"  # "cffm" (clip) | "image" (single-frame SegFormer)
     # backbone dwconv implementation override: None = auto (Pallas on TPU)
     dwconv_impl: str | None = None
+    test_cfg: TestConfig = dataclasses.field(default_factory=TestConfig)
 
     @property
     def backbone_config(self) -> MiTConfig:
