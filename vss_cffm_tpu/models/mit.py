@@ -192,32 +192,43 @@ class SRAttention(nn.Module):
         return out
 
 
-class DWConv3x3(nn.Module):
-    """3×3 depthwise conv with optionally fused exact GELU.
+class _DenseParams(nn.Module):
+    """Parameter holder with ``nn.Dense``'s exact tree (kernel/bias) — lets
+    the owner fuse across sibling layers while checkpoints stay
+    interchangeable with the module composition."""
 
-    Parameter layout matches ``nn.Conv`` (kernel (3,3,1,C) + bias) so
-    checkpoints are interchangeable; the compute routes through
-    ``ops.dwconv.dwconv3x3`` which picks the Pallas kernel on TPU (one HBM
-    read/write, bias+GELU in-register) or the XLA conv elsewhere.
-    """
-
-    dim: int
-    gelu: bool = False
-    impl: str | None = None  # None=auto | 'pallas' | 'xla'
-    dtype: Any = jnp.float32
+    in_features: int
+    features: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        kernel = self.param("kernel", _dwconv_fanout_init, (3, 3, 1, self.dim))
-        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
-        return dwconv3x3(
-            x.astype(self.dtype), kernel, bias, gelu=self.gelu, force=self.impl,
-            train=not deterministic,
-        )
+    def __call__(self):
+        k = self.param("kernel", _dense_init, (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _DWConvParams(nn.Module):
+    """Parameter holder matching ``DWConv3x3``'s tree (kernel (3,3,1,C) + bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", _dwconv_fanout_init, (3, 3, 1, self.dim))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return k, b
 
 
 class MixFFN(nn.Module):
-    """Dense → 3×3 depthwise conv → GELU → Dense (reference ``Mlp``/``DWConv``)."""
+    """Dense → 3×3 depthwise conv → GELU → Dense (reference ``Mlp``/``DWConv``).
+
+    On TPU at inference the whole FFN runs as ONE Pallas kernel
+    (``ops.mixffn``): the (B, H, W, 4C) hidden tensor lives only in VMEM —
+    under the unfused formulation it made 3 HBM round-trips (fc1 write,
+    9 shifted tap reads, fc2 read), the top line item of the round-2
+    forward profile. Training and non-TPU keep the module composition
+    (the fused kernel carries no VJP).
+    """
 
     dim: int
     hidden_dim: int
@@ -227,13 +238,37 @@ class MixFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        x = nn.Dense(self.hidden_dim, kernel_init=_dense_init, dtype=self.dtype, name="fc1")(x)
+        k1, b1 = _DenseParams(x.shape[-1], self.hidden_dim, name="fc1")()
+        kdw, bdw = _DWConvParams(self.hidden_dim, name="dwconv")()
+        k2, b2 = _DenseParams(self.hidden_dim, self.dim, name="fc2")()
+
+        impl = self.dwconv_impl
+        # The fused kernel is opt-in, NOT the auto default: in isolation it
+        # is ~2× the shifts composition (hidden never leaves VMEM), but any
+        # backbone pallas_call forces default operand layouts and XLA's
+        # global layout assignment re-layouts the surrounding activation
+        # chain — measured at CFFM-B1 480²: shifts-everywhere 4.46 ms vs
+        # 6.9 ms with stages 2–4 fused / 7.0 ms with only the lane-aligned
+        # C∈{128,512} stages fused (patch_embed1 conv 0.20→0.97 ms, stage-1
+        # LayerNorms ~4×, +0.9 ms copies) — the poison is the custom-call
+        # boundary itself, not lane padding. Revisit only as a stage-level
+        # megakernel (LN+attn+FFN in one pallas region).
+        use_fused = (impl == "fused" and deterministic and self.drop == 0.0
+                     and jax.devices()[0].platform in ("tpu", "axon"))
+        if use_fused or impl == "fused-interpret":
+            from ..ops.mixffn import mixffn_fused
+
+            return mixffn_fused(x.astype(self.dtype), k1, b1, kdw, bdw, k2, b2,
+                                interpret=impl == "fused-interpret")
+
+        dt = self.dtype
+        x = x.astype(dt) @ k1.astype(dt) + b1.astype(dt)  # ≡ nn.Dense
         # dwconv + exact-erf GELU (torch nn.GELU), fused into one kernel pass
-        x = DWConv3x3(self.hidden_dim, gelu=True, impl=self.dwconv_impl,
-                      dtype=self.dtype, name="dwconv")(x, deterministic)
+        x = dwconv3x3(x, kdw, bdw, gelu=True, force=None if impl == "fused" else impl,
+                      train=not deterministic)
         if self.drop > 0.0:
             x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = nn.Dense(self.dim, kernel_init=_dense_init, dtype=self.dtype, name="fc2")(x)
+        x = x.astype(dt) @ k2.astype(dt) + b2.astype(dt)
         if self.drop > 0.0:
             x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x

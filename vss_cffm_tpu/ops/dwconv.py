@@ -115,7 +115,7 @@ def _dwconv3x3_pallas(x, kernel, bias, gelu: bool = False, interpret: bool = Fal
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM; DMA'd per tile
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM; DMA'd per tile
             pl.BlockSpec((3, 3, cb), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cb), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
