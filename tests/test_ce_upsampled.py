@@ -112,3 +112,41 @@ def test_fused_clip_loss_class_weight_and_ohem_match_fallback(rng, monkeypatch):
     np.testing.assert_allclose(float(got["loss_seg"]), float(want["loss_seg"]), rtol=2e-5)
     np.testing.assert_allclose(float(got["acc_seg"]), float(want["acc_seg"]), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), rtol=3e-4, atol=1e-7)
+
+
+def test_loss_v2_fwd_matches_xla(rng):
+    n, h, w, c, s = 2, 8, 12, 30, 4
+    logits = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    labels = rng.randint(0, c, (n, h * s, w * s)).astype(np.int32)
+    labels[rng.rand(*labels.shape) < 0.1] = 255
+    lph = ce.labels_to_phase(jnp.asarray(labels), s)
+    w_img = 0.5 / labels.size
+    ws_ref, corr_ref = ce.ce_upsampled_loss_xla(logits, lph, s, w_img)
+    ws, corr = ce.ce_upsampled_loss(logits, lph, s, w_img)
+    np.testing.assert_allclose(float(ws), float(ws_ref), rtol=2e-5)
+    np.testing.assert_allclose(float(corr), float(corr_ref), rtol=0)
+
+
+def test_loss_v2_grad_matches_xla(rng):
+    n, h, w, c, s = 1, 8, 8, 17, 2
+    logits = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    labels = rng.randint(0, c, (n, h * s, w * s)).astype(np.int32)
+    labels[rng.rand(*labels.shape) < 0.1] = 255
+    lph = ce.labels_to_phase(jnp.asarray(labels), s)
+    w_img = 1.0 / labels.size
+
+    gk = jax.grad(lambda x: ce.ce_upsampled_loss(x, lph, s, w_img)[0] * 3.0)(logits)
+    gx = jax.grad(lambda x: ce.ce_upsampled_loss_xla(x, lph, s, w_img)[0] * 3.0)(logits)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), rtol=2e-4, atol=1e-8)
+
+
+def test_loss_v2_all_ignored(rng):
+    """A fully-ignored label map must give zero loss, zero correct, zero grad."""
+    n, h, w, c, s = 1, 8, 8, 11, 4
+    logits = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    labels = np.full((n, h * s, w * s), 255, np.int32)
+    lph = ce.labels_to_phase(jnp.asarray(labels), s)
+    ws, corr = ce.ce_upsampled_loss(logits, lph, s, 1.0 / labels.size)
+    assert float(ws) == 0.0 and float(corr) == 0.0
+    g = jax.grad(lambda x: ce.ce_upsampled_loss(x, lph, s, 1.0 / labels.size)[0])(logits)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)

@@ -79,6 +79,33 @@ def kernel_parity(rng) -> dict:
     assert out["ce_kernel_max_err"] < 1e-3 and out["ce_kernel_pred_mismatch"] == 0
     assert out["ce_kernel_grad_max_err"] < 1e-6
 
+    # v2 fully-reduced CE loss kernels (default train path)
+    w_img = 0.5 / labels.size
+    ws, corr = jax.jit(lambda a, b: ce.ce_upsampled_loss(a, b, 4, w_img))(logits, lph)
+    ws_r, corr_r = jax.jit(lambda a, b: ce.ce_upsampled_loss_xla(a, b, 4, w_img))(logits, lph)
+    out["ce2_kernel_rel_err"] = float(abs(float(ws) - float(ws_r)) / abs(float(ws_r)))
+    out["ce2_kernel_corr_mismatch"] = abs(float(corr) - float(corr_r))
+    g2 = jax.jit(jax.grad(lambda x: ce.ce_upsampled_loss(x, lph, 4, w_img)[0]))(logits)
+    g2r = jax.jit(jax.grad(lambda x: ce.ce_upsampled_loss_xla(x, lph, 4, w_img)[0]))(logits)
+    out["ce2_kernel_grad_max_err"] = float(np.abs(np.asarray(g2) - np.asarray(g2r)).max())
+    assert out["ce2_kernel_rel_err"] < 2e-5 and out["ce2_kernel_corr_mismatch"] == 0
+    assert out["ce2_kernel_grad_max_err"] < 1e-6
+
+    # fused MixFFN kernel (opt-in inference path)
+    from vss_cffm_tpu.ops.mixffn import mixffn_fused, mixffn_xla
+
+    xm = jnp.asarray(rng.randn(2, 60, 60, 128).astype(np.float32)).astype(jnp.bfloat16)
+    w1 = jnp.asarray(rng.randn(128, 512).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.randn(512).astype(np.float32) * 0.05)
+    kdw = jnp.asarray(rng.randn(3, 3, 1, 512).astype(np.float32) * 0.2)
+    bdw = jnp.asarray(rng.randn(512).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.randn(512, 128).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.randn(128).astype(np.float32) * 0.05)
+    gotm = np.asarray(mixffn_fused(xm, w1, b1, kdw, bdw, w2, b2), np.float32)
+    wantm = np.asarray(mixffn_xla(xm, w1, b1, kdw, bdw, w2, b2), np.float32)
+    out["mixffn_kernel_max_err"] = float(np.abs(gotm - wantm).max())
+    assert out["mixffn_kernel_max_err"] < 0.05, out  # bf16 matmul tolerance
+
     # dwconv formulations
     from vss_cffm_tpu.ops.dwconv import dwconv3x3
 

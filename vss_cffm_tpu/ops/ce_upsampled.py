@@ -47,6 +47,8 @@ __all__ = [
     "phase_to_natural",
     "ce_upsampled_nll",
     "ce_upsampled_nll_xla",
+    "ce_upsampled_loss",
+    "ce_upsampled_loss_xla",
 ]
 
 _NEG = -1e30  # channel padding: never max, exp underflows to exactly 0
@@ -348,6 +350,304 @@ def _ce_bwd_pallas(logits, labels_ph, lse_ph, g_nll, s: int, c: int,
       lse_ph, lse_ph, lse_ph,
       g_nll, g_nll, g_nll)
     return out[..., :c]
+
+
+# ---------------------------------------------------------------------------
+# v2: fully-reduced loss kernels (no per-pixel HBM intermediates)
+# ---------------------------------------------------------------------------
+#
+# The v1 kernels above emit per-pixel nll/pred/lse maps — three (N, h, s², w)
+# f32 arrays ≈ 350 MB each at the B=8 train geometry — which XLA then masks
+# and mean-reduces, and whose cotangent (g_nll) plus lse make two more full
+# passes in the backward. For the *default* loss config (no OHEM) none of
+# those maps is needed: the loss is a weighted sum with a per-segment
+# *static* weight, and acc_seg is a correct-pixel count. ``ce_upsampled_loss``
+# computes both as per-block partial sums inside the forward kernel (the only
+# HBM traffic is reading the low-res logits + labels), and its backward
+# kernel recomputes lse on the fly and builds the per-pixel cotangent from
+# the labels + the scalar upstream gradient — the (N, h, s², w) maps never
+# exist. The argmax lane-pass is likewise dropped: a pixel is counted
+# correct iff it is valid and its label's upsampled logit equals the row max
+# (exact float ties — where torch's first-max order could disagree — do not
+# occur with real-valued logits; the _NEG channel padding never ties).
+
+
+def _fwd_loss_kernel(prev_ref, cur_ref, next_ref, lbl_ref, wsum_ref, corr_ref,
+                     *, s: int, ch: int, num_classes: int, img_w: float,
+                     count_acc: bool):
+    i = pl.program_id(1)
+    g = pl.num_programs(1)
+    coeffs = _phase_coeffs(s)
+
+    cur = cur_ref[0].astype(jnp.float32)  # (ch, w, Cp)
+    xm1 = jnp.where(i > 0, prev_ref[0, ch - 1].astype(jnp.float32), cur[0])
+    xp1 = jnp.where(i < g - 1, next_ref[0, 0].astype(jnp.float32), cur[ch - 1])
+    ext = jnp.concatenate([xm1[None], cur, xp1[None]], axis=0)  # (ch+2, w, Cp)
+
+    cp = ext.shape[-1]
+    wlen = ext.shape[1]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (ch, wlen, cp), 2)
+
+    tot = jnp.zeros((ch, wlen), jnp.float32)
+    cor = jnp.zeros((ch, wlen), jnp.float32)
+    for ph, (dh, fh) in enumerate(coeffs):
+        lo = ext[1 + dh : 1 + dh + ch]
+        hi = ext[2 + dh : 2 + dh + ch]
+        xh = lo * (1.0 - fh) + hi * fh  # (ch, w, Cp)
+        xh_l = _shift_w(xh, left=True)
+        xh_r = _shift_w(xh, left=False)
+        for pw, (dw, fw) in enumerate(coeffs):
+            if dw < 0:
+                up = xh_l * (1.0 - fw) + xh * fw
+            else:
+                up = xh * (1.0 - fw) + xh_r * fw
+            m = jnp.max(up, axis=-1, keepdims=True)
+            e = jnp.exp(up - m)
+            lse = m[..., 0] + jnp.log(jnp.sum(e, axis=-1))
+            lbl = lbl_ref[0, :, ph * s + pw]  # (ch, w) int32
+            valid = (lbl >= 0) & (lbl < num_classes)
+            safe = jnp.where(valid, lbl, 0)
+            picked = jnp.sum(jnp.where(iota_c == safe[..., None], up, 0.0), axis=-1)
+            tot = tot + jnp.where(valid, lse - picked, 0.0)
+            if count_acc:
+                cor = cor + jnp.where(valid & (picked == m[..., 0]), 1.0, 0.0)
+    # (ch, w) partial maps, summed by XLA outside (scalar-block outputs are
+    # not expressible on TPU: last-two block dims must be (8k, 128k) or full)
+    wsum_ref[0, 0] = tot * img_w
+    corr_ref[0, 0] = cor
+
+
+@functools.partial(jax.jit, static_argnames=("s", "img_w", "count_acc", "interpret"))
+def _ce_fwd_loss_pallas(logits, labels_ph, s: int, img_w: float,
+                        count_acc: bool = True, interpret: bool = False):
+    n, h, w, c = logits.shape
+    cp = -(-c // 128) * 128
+    if cp != c:
+        logits = jnp.pad(logits, ((0, 0),) * 3 + ((0, cp - c),),
+                         constant_values=_NEG)
+    # ch=4: the carried (tot, cor) accumulators extend live ranges across the
+    # phase loop — at ch=8 Mosaic's stack allocation hits 20.1M > 16M VMEM at
+    # the (120, 120, 128) train geometry; ch=4 fits comfortably
+    ch = 4
+    while ch > 1 and h % ch:
+        ch -= 1
+    grid = (n, h // ch)
+    g = h // ch
+    view = lambda fix: pl.BlockSpec((1, ch, w, cp), fix, memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((1, 1, ch, w), lambda ni, i: (ni, i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    wsum, corr = pl.pallas_call(
+        functools.partial(_fwd_loss_kernel, s=s, ch=ch, num_classes=c,
+                          img_w=img_w, count_acc=count_acc),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, g, ch, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, g, ch, w), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            view(lambda ni, i: (ni, jnp.maximum(i - 1, 0), 0, 0)),
+            view(lambda ni, i: (ni, i, 0, 0)),
+            view(lambda ni, i, g=g: (ni, jnp.minimum(i + 1, g - 1), 0, 0)),
+            pl.BlockSpec((1, ch, s * s, w), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(scalar_spec, scalar_spec),
+        interpret=interpret,
+    )(logits, logits, logits, labels_ph)
+    return jnp.sum(wsum), jnp.sum(corr)
+
+
+def _bwd_loss_kernel(xprev_ref, xcur_ref, xnext_ref,
+                     lprev_ref, lcur_ref, lnext_ref, ct_ref,
+                     dx_ref, *, s: int, ch: int, num_classes: int, img_w: float):
+    """dx = ct · img_w · Σ_phases transposes of valid·(softmax(up) − onehot).
+
+    Identical transpose structure to ``_bwd_kernel`` but lse is recomputed
+    from the logits (max/exp/sum per phase) and the per-pixel cotangent is
+    built from the labels + the scalar upstream ct — no per-pixel residual
+    or cotangent arrays are read from HBM.
+    """
+    i = pl.program_id(1)
+    g = pl.num_programs(1)
+    coeffs = _phase_coeffs(s)
+    ct = ct_ref[0, 0] * img_w
+
+    xcur = xcur_ref[0].astype(jnp.float32)  # (ch, w, Cp)
+    first = i == 0
+    last = i == g - 1
+    xm2 = jnp.where(i > 0, xprev_ref[0, 0].astype(jnp.float32), xcur[0])
+    xm1 = jnp.where(i > 0, xprev_ref[0, 1].astype(jnp.float32), xcur[0])
+    xp1 = jnp.where(i < g - 1, xnext_ref[0, 0].astype(jnp.float32), xcur[ch - 1])
+    xp2 = jnp.where(i < g - 1, xnext_ref[0, 1].astype(jnp.float32), xcur[ch - 1])
+    xe = jnp.concatenate([xm2[None], xm1[None], xcur, xp1[None], xp2[None]], 0)
+
+    cp = xe.shape[-1]
+    he = ch + 2
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (he, xe.shape[1], cp), 2)
+
+    dx = jnp.zeros((ch, xe.shape[1], cp), jnp.float32)
+
+    for ph, (dh, fh) in enumerate(coeffs):
+        dxh = jnp.zeros((he, xe.shape[1], cp), jnp.float32)
+        lo = xe[1 + dh : 1 + dh + he]
+        hi = xe[2 + dh : 2 + dh + he]
+        xh = lo * (1.0 - fh) + hi * fh
+        xh_l = _shift_w(xh, left=True)
+        xh_r = _shift_w(xh, left=False)
+        for pw, (dw, fw) in enumerate(coeffs):
+            if dw < 0:
+                up = xh_l * (1.0 - fw) + xh * fw
+            else:
+                up = xh * (1.0 - fw) + xh_r * fw
+            pidx = ph * s + pw
+
+            def halo(ref_p, ref_c, ref_n):
+                a = jnp.where(i > 0, ref_p[0, 0, pidx], ref_c[0, 0, pidx])
+                b = jnp.where(i < g - 1, ref_n[0, 0, pidx], ref_c[0, ch - 1, pidx])
+                return jnp.concatenate([a[None], ref_c[0, :, pidx], b[None]], 0)
+
+            lbl = halo(lprev_ref, lcur_ref, lnext_ref)  # (he, w)
+            valid = (lbl >= 0) & (lbl < num_classes)
+            safe = jnp.where(valid, lbl, 0)
+            gv = jnp.where(valid, ct, 0.0)
+            row = jax.lax.broadcasted_iota(jnp.int32, gv.shape, 0)
+            gv = jnp.where(first & (row == 0), 0.0, gv)
+            gv = jnp.where(last & (row == he - 1), 0.0, gv)
+
+            # recompute the softmax (the v1 kernel read lse from HBM)
+            m = jnp.max(up, axis=-1, keepdims=True)
+            e = jnp.exp(up - m)
+            sm = e / jnp.sum(e, axis=-1, keepdims=True)
+            onehot = (iota_c == safe[..., None]).astype(jnp.float32)
+            t = gv[..., None] * (sm - onehot)  # (he, w, Cp)
+
+            col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            wlen = t.shape[1]
+            if dw < 0:
+                dW = _shift_w_zero(t, left=False) * (1.0 - fw) + t * fw
+                dW = dW + jnp.where(col == 0, (1.0 - fw) * t, 0.0)
+            else:
+                dW = t * (1.0 - fw) + _shift_w_zero(t, left=True) * fw
+                dW = dW + jnp.where(col == wlen - 1, fw * t, 0.0)
+            dxh = dxh + dW
+        a = dxh[1 - dh : 1 - dh + ch]
+        b = dxh[-dh : -dh + ch]
+        contrib = a * (1.0 - fh) + b * fh
+        rowc = jax.lax.broadcasted_iota(jnp.int32, contrib.shape, 0)
+        if dh < 0:
+            contrib = contrib + jnp.where(
+                first & (rowc == 0), (1.0 - fh) * dxh[1][None], 0.0)
+        else:
+            contrib = contrib + jnp.where(
+                last & (rowc == ch - 1), fh * dxh[ch][None], 0.0)
+        dx = dx + contrib
+
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "c", "img_w", "interpret"))
+def _ce_bwd_loss_pallas(logits, labels_ph, ct, s: int, c: int, img_w: float,
+                        interpret: bool = False):
+    n, h, w, _ = logits.shape
+    cp = -(-c // 128) * 128
+    if cp != c:
+        logits = jnp.pad(logits, ((0, 0),) * 3 + ((0, cp - c),),
+                         constant_values=_NEG)
+    # ch=4 (vs the v1 backward's 8): recomputing the softmax in-kernel adds
+    # (up, e, sm)-sized live ranges — ch=8 hits 24M > 16M VMEM stack at the
+    # train geometry
+    ch = 4
+    while ch > 1 and (h % ch or ch % 2):
+        ch -= 1
+    assert ch >= 2, "backward kernel needs an even row-chunk divisor of h"
+    grid = (n, h // ch)
+    g = h // ch
+    h2 = h // 2
+    xcurv = pl.BlockSpec((1, ch, w, cp), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    xprevv = pl.BlockSpec(
+        (1, 2, w, cp),
+        lambda ni, i, ch=ch: (ni, jnp.maximum(i * (ch // 2) - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    xnextv = pl.BlockSpec(
+        (1, 2, w, cp),
+        lambda ni, i, ch=ch, h2=h2: (ni, jnp.minimum((i + 1) * (ch // 2), h2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    pcurv = pl.BlockSpec((1, ch, s * s, w), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    pprevv = pl.BlockSpec(
+        (1, 1, s * s, w),
+        lambda ni, i, ch=ch: (ni, jnp.maximum(i * ch - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    pnextv = pl.BlockSpec(
+        (1, 1, s * s, w),
+        lambda ni, i, ch=ch, h=h: (ni, jnp.minimum((i + 1) * ch, h - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_bwd_loss_kernel, s=s, ch=ch, num_classes=c,
+                          img_w=img_w),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            xprevv, xcurv, xnextv,
+            pprevv, pcurv, pnextv,
+            pl.BlockSpec((1, 1), lambda ni, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ch, w, cp), lambda ni, i: (ni, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(logits, logits, logits,
+      labels_ph, labels_ph, labels_ph,
+      ct.astype(jnp.float32).reshape(1, 1))
+    return out[..., :c]
+
+
+def ce_upsampled_loss_xla(logits, labels_ph, s: int, img_w: float,
+                          count_acc: bool = True):
+    """Identical-math XLA composition of ``ce_upsampled_loss`` (oracle /
+    CPU fallback): masked-nll weighted sum + valid-correct count."""
+    nll, pred = ce_upsampled_nll_xla(logits, labels_ph, s)
+    c = logits.shape[-1]
+    valid = (labels_ph >= 0) & (labels_ph < c)
+    wsum = jnp.sum(jnp.where(valid, nll, 0.0)) * img_w
+    corr = jnp.sum((valid & (pred == labels_ph)).astype(jnp.float32))
+    if not count_acc:
+        corr = jnp.zeros((), jnp.float32)
+    return wsum, corr
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def ce_upsampled_loss(logits, labels_ph, s: int, img_w: float,
+                      count_acc: bool = True):
+    """Fully-reduced upsampled CE: ``(Σ_valid nll)·img_w`` and the count of
+    valid correctly-predicted pixels, straight from low-res logits.
+
+    ``img_w`` is a *static* per-segment weight (e.g. ``0.5 / num_pixels``
+    for the per-frame branch of the clip loss) baked into the kernel.
+    Differentiable wrt ``logits`` only; the correct-count output carries no
+    gradient (it is a logging metric, zero a.e. anyway).
+    """
+    return _ce_fwd_loss_pallas(logits, labels_ph, s, img_w, count_acc,
+                               interpret=_INTERPRET)
+
+
+def _ce_loss_fwd(logits, labels_ph, s: int, img_w: float, count_acc: bool):
+    out = _ce_fwd_loss_pallas(logits, labels_ph, s, img_w, count_acc,
+                              interpret=_INTERPRET)
+    return out, (logits, labels_ph)
+
+
+def _ce_loss_bwd(s: int, img_w: float, count_acc: bool, res, cts):
+    logits, labels_ph = res
+    g_wsum, _ = cts  # correct-count output: no gradient path
+    dlogits = _ce_bwd_loss_pallas(logits, labels_ph, g_wsum, s,
+                                  logits.shape[-1], img_w,
+                                  interpret=_INTERPRET)
+    return (dlogits.astype(logits.dtype),
+            np.zeros(labels_ph.shape, dtype=jax.dtypes.float0))
+
+
+ce_upsampled_loss.defvjp(_ce_loss_fwd, _ce_loss_bwd)
 
 
 # ---------------------------------------------------------------------------
