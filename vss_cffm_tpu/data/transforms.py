@@ -25,6 +25,7 @@ import numpy as np
 __all__ = [
     "imrescale",
     "random_scale_clip",
+    "sample_crop_box",
     "random_crop_clip",
     "random_flip_clip",
     "photometric_distortion_clip",
@@ -72,6 +73,47 @@ def random_scale_clip(
     return imgs, segs
 
 
+def sample_crop_box(
+    seg_last: np.ndarray,
+    rng: np.random.RandomState,
+    crop_size: tuple[int, int] = (480, 480),
+    cat_max_ratio: float = 0.75,
+    ignore_index: int = 255,
+) -> tuple[int, int, int, int]:
+    """Crop-box draw of ``RandomCrop_clips`` (reference ``:1566-1579``): box
+    sampled on the **last** frame's gt with the 10-try category-balance
+    re-roll. Split out so the native fused pipeline can consume the same RNG
+    draws without materializing image crops."""
+    h, w = seg_last.shape[:2]
+    ch, cw = crop_size
+
+    def sample_box():
+        oy = rng.randint(0, max(h - ch, 0) + 1)
+        ox = rng.randint(0, max(w - cw, 0) + 1)
+        return oy, oy + ch, ox, ox + cw
+
+    def label_counts(seg_tmp):
+        # counts of non-ignored labels; bincount for uint8 (np.unique sorts
+        # the whole crop — ~10× slower per try), unique otherwise
+        if seg_tmp.dtype == np.uint8:
+            cnt = np.bincount(seg_tmp.ravel(), minlength=256)
+            if 0 <= ignore_index < 256:
+                cnt[ignore_index] = 0
+            return cnt[cnt > 0]
+        labels, cnt = np.unique(seg_tmp, return_counts=True)
+        return cnt[labels != ignore_index]
+
+    box = sample_box()
+    if cat_max_ratio < 1.0:
+        for _ in range(10):
+            y1, y2, x1, x2 = box
+            cnt = label_counts(seg_last[y1:y2, x1:x2])
+            if len(cnt) > 1 and cnt.max() / cnt.sum() < cat_max_ratio:
+                break
+            box = sample_box()
+    return box
+
+
 def random_crop_clip(
     imgs: list[np.ndarray],
     segs: list[np.ndarray],
@@ -80,27 +122,9 @@ def random_crop_clip(
     cat_max_ratio: float = 0.75,
     ignore_index: int = 255,
 ) -> tuple[list[np.ndarray], list[np.ndarray]]:
-    """One crop box for the whole clip, chosen on the **last** frame's gt with
-    the 10-try category-balance re-roll (reference ``:1566-1579``)."""
-    h, w = imgs[-1].shape[:2]
-    ch, cw = crop_size
-
-    def sample_box():
-        oy = rng.randint(0, max(h - ch, 0) + 1)
-        ox = rng.randint(0, max(w - cw, 0) + 1)
-        return oy, oy + ch, ox, ox + cw
-
-    box = sample_box()
-    if cat_max_ratio < 1.0:
-        for _ in range(10):
-            y1, y2, x1, x2 = box
-            seg_tmp = segs[-1][y1:y2, x1:x2]
-            labels, cnt = np.unique(seg_tmp, return_counts=True)
-            cnt = cnt[labels != ignore_index]
-            if len(cnt) > 1 and cnt.max() / cnt.sum() < cat_max_ratio:
-                break
-            box = sample_box()
-    y1, y2, x1, x2 = box
+    """One crop box for the whole clip (see ``sample_crop_box``)."""
+    y1, y2, x1, x2 = sample_crop_box(segs[-1], rng, crop_size, cat_max_ratio,
+                                     ignore_index)
     return (
         [im[y1:y2, x1:x2] for im in imgs],
         [s[y1:y2, x1:x2] for s in segs],
@@ -123,6 +147,12 @@ def random_flip_clip(
 
 
 def _convert(img, alpha=1.0, beta=0.0):
+    if img.dtype == np.uint8:
+        # identical per-value math precomputed as a 256-entry LUT and applied
+        # with cv2's SIMD table lookup — ~5× faster than three numpy passes
+        lut = np.clip(np.arange(256, dtype=np.float32) * np.float32(alpha)
+                      + np.float32(beta), 0, 255).astype(np.uint8)
+        return cv2.LUT(np.ascontiguousarray(img), lut)
     out = img.astype(np.float32) * alpha + beta
     return np.clip(out, 0, 255).astype(np.uint8)
 
@@ -150,7 +180,10 @@ def photometric_distortion_clip(
             img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
         if rng.randint(2):
             hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
-            hsv[:, :, 0] = (hsv[:, :, 0].astype(int) + rng.randint(-hue_delta, hue_delta)) % 180
+            # (h + d) % 180 as a LUT — identical values, SIMD lookup
+            lut = ((np.arange(256) + rng.randint(-hue_delta, hue_delta))
+                   % 180).astype(np.uint8)
+            hsv[:, :, 0] = cv2.LUT(np.ascontiguousarray(hsv[:, :, 0]), lut)
             img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
         if mode == 0 and rng.randint(2):
             img = _convert(img, alpha=rng.uniform(*contrast_range))

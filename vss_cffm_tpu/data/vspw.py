@@ -42,7 +42,20 @@ from .. import native
 __all__ = ["VSPWVideoDataset", "load_label", "reduce_zero_label"]
 
 
+# reduce_zero_label as 256-entry LUTs (identity / remap) for the native
+# single-pass PNG decode
+_LUT_IDENTITY = np.arange(256, dtype=np.uint8)
+_LUT_REDUCE = np.where(np.arange(256) == 0, 255, np.arange(256) - 1)
+_LUT_REDUCE = np.where(_LUT_REDUCE == 254, 255, _LUT_REDUCE).astype(np.uint8)
+
+
 def load_label(path: str, reduce_zero: bool = True) -> np.ndarray:
+    if native.available():
+        with open(path, "rb") as f:
+            data = f.read()
+        seg = native.decode_label(data, _LUT_REDUCE if reduce_zero else _LUT_IDENTITY)
+        if seg is not None:
+            return seg
     seg = np.array(Image.open(path))
     if reduce_zero:
         seg = reduce_zero_label(seg)
@@ -192,6 +205,10 @@ class VSPWVideoDataset:
         moves into the jitted train step, bit-identical results).
         """
         sample, frames = self.sample_train_clip(idx, rng)
+        if native.available():
+            item = self._train_item_native(sample, frames, rng, normalize)
+            if item is not None:
+                return item
         imgs, segs = self._load_frames(sample.video, frames, sample.frame_indices, True)
         imgs, segs = T.random_scale_clip(imgs, segs, rng, self.img_scale)
         imgs, segs = T.random_crop_clip(imgs, segs, rng, self.crop_size)
@@ -205,6 +222,68 @@ class VSPWVideoDataset:
             "imgs": stacked.astype(np.float32) if normalize else stacked,
             "labels": np.stack(segs).astype(np.int32),
             "video": sample.video,
+            "frame": sample.target_frame,
+        }
+
+    def _train_item_native(self, sample, frames, rng, normalize: bool):
+        """Fused-native train item — bit-identical to the numpy path (both
+        decode with libjpeg; the window resize is cv2-bitwise; PMD runs the
+        same Python code on the same pixels) but the per-frame image work is
+        one C++ call: decode → bilinear resize *of the crop window only* →
+        flip (``native/dataloader.cpp:vss_train_clip``). The full resized
+        image (up to 2× (853, 480) ≈ 1.6 MPx/frame) is never materialized,
+        and the RNG draw order exactly mirrors the transform pipeline:
+        scale ratio → crop box (on the resized last label) → flip → PMD.
+        Returns None (caller falls back) on geometry surprises."""
+        video, idxs = sample.video, sample.frame_indices
+        bufs = []
+        for i in idxs:
+            with open(self._img_path(video, frames[i]), "rb") as f:
+                bufs.append(f.read())
+        try:
+            sh, sw = native.jpeg_dims(bufs[0])
+        except ValueError:
+            return None
+        segs = [load_label(self._seg_path(video, frames[i]), self.reduce_zero)
+                for i in idxs]
+        if segs[0].shape[:2] != (sh, sw):
+            return None  # image/label geometry mismatch: use the slow path
+
+        # draw 1: scale ratio (``random_scale_clip``)
+        ratio = rng.random_sample() * 1.5 + 0.5
+        scale = (int(self.img_scale[0] * ratio), int(self.img_scale[1] * ratio))
+        f = T._rescale_factor((sh, sw), scale)
+        rw, rh = int(sw * f + 0.5), int(sh * f + 0.5)
+        segs_r = [T.imrescale(s, scale, nearest=True) for s in segs]
+        # draws 2..: crop box on the resized last label (``sample_crop_box``)
+        y1, y2, x1, x2 = T.sample_crop_box(segs_r[-1], rng, self.crop_size)
+        # draw: flip (``random_flip_clip``)
+        flip = bool(rng.rand() < 0.5)
+
+        ch, cw = self.crop_size
+        imgs = native.train_clip(bufs, sh, sw, rh, rw, y1, x1, ch, cw, flip)
+        vh, vw = min(ch, rh - y1), min(cw, rw - x1)
+        # PMD on the valid (pre-pad) region — per-frame re-rolls, then pad
+        views = T.photometric_distortion_clip(
+            [imgs[i, :vh, :vw] for i in range(len(idxs))], rng)
+        if normalize:
+            out = np.zeros(imgs.shape, np.float32)
+            for i, v in enumerate(T.normalize_clip(views)):
+                out[i, :vh, :vw] = v
+        else:
+            out = np.zeros_like(imgs)
+            for i, v in enumerate(views):
+                out[i, :vh, :vw] = v
+
+        segs_c = [s[y1:y2, x1:x2] for s in segs_r]
+        if flip:
+            segs_c = [s[:, ::-1] for s in segs_c]
+        segs_p = [np.pad(s, ((0, ch - s.shape[0]), (0, cw - s.shape[1])),
+                         constant_values=255) for s in segs_c]
+        return {
+            "imgs": out,
+            "labels": np.stack(segs_p).astype(np.int32),
+            "video": video,
             "frame": sample.target_frame,
         }
 

@@ -38,6 +38,10 @@ def load():
     lib.vss_decode_jpeg.restype = ctypes.c_int
     lib.vss_jpeg_dims.restype = ctypes.c_int
     lib.vss_decode_clip_normalized.restype = ctypes.c_int
+    lib.vss_train_frame.restype = ctypes.c_int
+    lib.vss_train_clip.restype = ctypes.c_int
+    lib.vss_png_dims.restype = ctypes.c_int
+    lib.vss_decode_label.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -85,6 +89,90 @@ def normalize_f32(img: np.ndarray, mean: np.ndarray, std: np.ndarray,
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int(1 if to_rgb else 0),
     )
+    return out
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int]:
+    """Peek (height, width) from a JPEG header without a full decode."""
+    lib = load()
+    assert lib is not None
+    buf = np.frombuffer(data, np.uint8)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    rc = lib.vss_jpeg_dims(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        ctypes.byref(h), ctypes.byref(w),
+    )
+    if rc != 0:
+        raise ValueError("invalid JPEG header")
+    return h.value, w.value
+
+
+def decode_label(data: bytes, lut: np.ndarray) -> np.ndarray | None:
+    """Palette/gray PNG index plane → uint8 (H, W) mapped through a 256-entry
+    LUT (fused reduce_zero_label). Returns None for PNG variants the native
+    decoder does not handle (caller falls back to PIL)."""
+    lib = load()
+    assert lib is not None
+    buf = np.frombuffer(data, np.uint8)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    rc = lib.vss_png_dims(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        ctypes.byref(h), ctypes.byref(w),
+    )
+    if rc != 0:
+        return None
+    out = np.empty((h.value, w.value), np.uint8)
+    lut = np.ascontiguousarray(lut, np.uint8)
+    assert lut.size == 256
+    rc = lib.vss_decode_label(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h.value, w.value,
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None
+
+
+def resize_window(src: np.ndarray, rh: int, rw: int, y1: int, x1: int,
+                  vh: int, vw: int, flip: bool = False) -> np.ndarray:
+    """cv2-bitwise INTER_LINEAR resize of (sh, sw, 3) uint8 to the (rh, rw)
+    geometry, emitting only the [y1:y1+vh, x1:x1+vw] window (optionally
+    h-flipped) — O(window) work, the resized image is never materialized."""
+    lib = load()
+    assert lib is not None
+    src = np.ascontiguousarray(src)
+    out = np.empty((vh, vw, 3), np.uint8)
+    lib.vss_resize_window_u8c3(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        src.shape[0], src.shape[1], rh, rw, y1, x1, vh, vw,
+        ctypes.c_int(1 if flip else 0),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), vw,
+    )
+    return out
+
+
+def train_clip(buffers: list[bytes], sh: int, sw: int, rh: int, rw: int,
+               y1: int, x1: int, ch: int, cw: int, flip: bool,
+               n_threads: int = 2) -> np.ndarray:
+    """Fused train-clip pipeline: JPEG decode → window bilinear resize →
+    crop → flip, threaded over frames → (N, ch, cw, 3) uint8 BGR, zero-padded
+    outside the valid (min(ch, rh-y1), min(cw, rw-x1)) region."""
+    lib = load()
+    assert lib is not None
+    n = len(buffers)
+    arrays = [np.frombuffer(b, np.uint8) for b in buffers]
+    ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)(
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for a in arrays]
+    )
+    lens = (ctypes.c_int64 * n)(*[len(b) for b in buffers])
+    out = np.zeros((n, ch, cw, 3), np.uint8)
+    rc = lib.vss_train_clip(
+        ptrs, lens, n, sh, sw, rh, rw, y1, x1, ch, cw,
+        ctypes.c_int(1 if flip else 0),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(n_threads),
+    )
+    if rc != 0:
+        raise ValueError(f"train clip decode failed ({rc})")
     return out
 
 

@@ -22,8 +22,10 @@
 #include <csetjmp>
 
 #include <jpeglib.h>
+#include <png.h>
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -95,6 +97,94 @@ int vss_decode_jpeg(const uint8_t* buf, int64_t len, uint8_t* out, int out_h,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// PNG label decode (palette/gray, 8-bit) with fused reduce_zero_label.
+//
+// VSPW masks are palette PNGs whose *indices* are the class ids; PIL's
+// np.array(Image.open(p)) yields the index plane. libpng with palette
+// expansion OFF gives the same bytes; reduce_zero (0→255, k→k−1, 254→255 —
+// data/vspw.py:load_label) is applied via a 256-entry LUT in the same pass.
+// Replaces a 24 ms/clip PIL decode with ~5 ms.
+// ---------------------------------------------------------------------------
+
+namespace {
+struct PngReadState {
+  const uint8_t* data;
+  png_size_t len;
+  png_size_t pos;
+};
+
+void png_mem_read(png_structp png, png_bytep out, png_size_t n) {
+  PngReadState* s = static_cast<PngReadState*>(png_get_io_ptr(png));
+  if (s->pos + n > s->len) png_error(png, "png: read past end");
+  std::memcpy(out, s->data + s->pos, n);
+  s->pos += n;
+}
+}  // namespace
+
+int vss_png_dims(const uint8_t* buf, int64_t len, int* h, int* w) {
+  if (len < 8 || png_sig_cmp(buf, 0, 8)) return 1;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 2;
+  }
+  PngReadState st{buf, static_cast<png_size_t>(len), 0};
+  png_set_read_fn(png, &st, png_mem_read);
+  png_read_info(png, info);
+  *h = static_cast<int>(png_get_image_height(png, info));
+  *w = static_cast<int>(png_get_image_width(png, info));
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
+// Decode an 8-bit palette/gray PNG's index plane into `out` (h, w) uint8,
+// mapping every byte through `lut` (256 entries). Returns 0 on success.
+int vss_decode_label(const uint8_t* buf, int64_t len, uint8_t* out, int out_h,
+                     int out_w, const uint8_t* lut) {
+  if (len < 8 || png_sig_cmp(buf, 0, 8)) return 1;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  std::vector<uint8_t> row;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 2;
+  }
+  PngReadState st{buf, static_cast<png_size_t>(len), 0};
+  png_set_read_fn(png, &st, png_mem_read);
+  png_read_info(png, info);
+  int h = static_cast<int>(png_get_image_height(png, info));
+  int w = static_cast<int>(png_get_image_width(png, info));
+  int ctype = png_get_color_type(png, info);
+  int depth = png_get_bit_depth(png, info);
+  if (h != out_h || w != out_w) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 3;
+  }
+  if (ctype != PNG_COLOR_TYPE_PALETTE && ctype != PNG_COLOR_TYPE_GRAY) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 4;  // not an index/gray mask — caller falls back to PIL
+  }
+  if (depth < 8) png_set_packing(png);  // 1/2/4-bit indices → one per byte
+  if (depth == 16) png_set_strip_16(png);
+  png_read_update_info(png, info);
+  if (png_get_rowbytes(png, info) < static_cast<size_t>(w)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 5;
+  }
+  row.resize(png_get_rowbytes(png, info));
+  for (int y = 0; y < h; ++y) {
+    png_read_row(png, row.data(), nullptr);
+    uint8_t* dst = out + static_cast<size_t>(y) * w;
+    for (int x = 0; x < w; ++x) dst[x] = lut[row[x]];
+  }
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
 int vss_jpeg_dims(const uint8_t* buf, int64_t len, int* h, int* w) {
   jpeg_decompress_struct cinfo;
   JmpErrorMgr jerr;
@@ -139,6 +229,252 @@ void vss_normalize_f32(const uint8_t* src, float* dst, int64_t n_pixels,
       q[2] = (static_cast<float>(p[2]) - m2) * inv2;
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// cv2-exact INTER_LINEAR resize restricted to a crop window (8U, 3-channel).
+//
+// OpenCV's 8-bit bilinear path (modules/imgproc/src/resize.cpp) is
+// fixed-point: per-axis coefficients are saturate_cast<short>(w * 2048)
+// (INTER_RESIZE_COEF_SCALE, round-to-nearest-even), the horizontal pass
+// accumulates int rows D[x] = S[sx]*a0 + S[sx+1]*a1, and the vertical pass
+// combines rows r0/r1 with betas b0/b1 as
+//     dst = (((b0*(r0>>4)) >> 16) + ((b1*(r1>>4)) >> 16) + 2) >> 2.
+// Border handling: sx<0 → (sx,fx)=(0,0); sx≥sw-1 → (sx,fx)=(sw-1,0) (the
+// second tap then has zero weight; the read index is clamped).
+//
+// Computing only the columns/rows of the train crop makes the resize cost
+// O(crop area), not O(resized-image area) — the resized image (up to
+// ratio 2.0 × (853,480) ≈ 1.6 MPx) is never materialized.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct LinCoef {
+  std::vector<int> ofs;      // clamped source index of tap 0 (pixels)
+  std::vector<short> alpha;  // 2 per output position: (a0, a1), scale 2048
+};
+
+// Coefficients for output positions [o0, o0+n) of a dst-length `dlen` resize
+// from src-length `slen` — cv2's exact per-position math. Border handling
+// differs by axis in cv2: the *horizontal* loop (resize.cpp xofs setup)
+// zeroes the fractional weight at the borders (clamp_frac=true), while the
+// *vertical* taps keep the fractional beta and only clamp the row indices at
+// fetch time (clamp_frac=false) — getting this wrong shifts the first/last
+// output rows of a >1× upscale by ±1 LSB.
+LinCoef lin_coeffs(int slen, int dlen, int o0, int n, bool clamp_frac) {
+  LinCoef c;
+  c.ofs.resize(n);
+  c.alpha.resize(2 * n);
+  // cv2 computes scale as 1/inv_scale (inv_scale = dst/src) — the double
+  // rounding differs from src/dst directly and shifts border coefficients
+  // by 1 ULP (±1 LSB output differences otherwise)
+  double scale = 1.0 / (static_cast<double>(dlen) / slen);
+  for (int i = 0; i < n; ++i) {
+    int d = o0 + i;
+    float f = static_cast<float>((d + 0.5) * scale - 0.5);
+    int s = static_cast<int>(std::floor(f));
+    f -= s;
+    if (clamp_frac) {
+      if (s < 0) {
+        s = 0;
+        f = 0.f;
+      }
+      if (s >= slen - 1) {
+        s = slen - 1;
+        f = 0.f;
+      }
+    }
+    c.ofs[i] = s;  // raw (possibly out-of-range) when !clamp_frac
+    c.alpha[2 * i] = static_cast<short>(std::lrintf((1.f - f) * 2048.f));
+    c.alpha[2 * i + 1] = static_cast<short>(std::lrintf(f * 2048.f));
+  }
+  return c;
+}
+
+inline int clampi(int v, int lo, int hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+void hresize_row_u8c3(const uint8_t* S, int sw, const LinCoef& cx, int vw,
+                      int* D) {
+  for (int i = 0; i < vw; ++i) {
+    int sx = cx.ofs[i];
+    int sx1 = sx + 1 < sw ? sx + 1 : sw - 1;  // clamped; tap-1 weight is 0 there
+    int a0 = cx.alpha[2 * i], a1 = cx.alpha[2 * i + 1];
+    const uint8_t* p0 = S + static_cast<size_t>(sx) * 3;
+    const uint8_t* p1 = S + static_cast<size_t>(sx1) * 3;
+    D[i * 3 + 0] = p0[0] * a0 + p1[0] * a1;
+    D[i * 3 + 1] = p0[1] * a0 + p1[1] * a1;
+    D[i * 3 + 2] = p0[2] * a0 + p1[2] * a1;
+  }
+}
+
+}  // namespace
+
+// Resize (sh, sw, 3) uint8 → the (rh, rw) full-image geometry, emitting only
+// the crop window rows [y1, y1+vh) × cols [x1, x1+vw), optionally flipped
+// horizontally (train-time flip *after* crop: out col j = window col
+// vw-1-j). `out` rows are `out_stride` pixels wide (≥ vw). `src` holds the
+// source rows [src_row0, …] only (band decode); indices are global.
+static void resize_window_impl(const uint8_t* src, int src_row0, int sh,
+                               int sw, int rh, int rw, int y1, int x1, int vh,
+                               int vw, int flip, uint8_t* out,
+                               int out_stride) {
+  LinCoef cx = lin_coeffs(sw, rw, x1, vw, /*clamp_frac=*/true);
+  LinCoef cy = lin_coeffs(sh, rh, y1, vh, /*clamp_frac=*/false);
+  std::vector<int> rows[2];
+  rows[0].resize(static_cast<size_t>(vw) * 3);
+  rows[1].resize(static_cast<size_t>(vw) * 3);
+  int cached_sy[2] = {-2, -2};
+  for (int j = 0; j < vh; ++j) {
+    int sy = clampi(cy.ofs[j], 0, sh - 1);
+    int sy1 = clampi(cy.ofs[j] + 1, 0, sh - 1);
+    int b0 = cy.alpha[2 * j], b1 = cy.alpha[2 * j + 1];
+    // rolling 2-row cache: consecutive output rows usually share src rows
+    const int* r0 = nullptr;
+    const int* r1 = nullptr;
+    for (int k = 0; k < 2; ++k) {
+      if (cached_sy[k] == sy) r0 = rows[k].data();
+      if (cached_sy[k] == sy1) r1 = rows[k].data();
+    }
+    if (!r0) {
+      int slot = (cached_sy[0] != sy1) ? 0 : 1;
+      hresize_row_u8c3(src + static_cast<size_t>(sy - src_row0) * sw * 3, sw,
+                       cx, vw, rows[slot].data());
+      cached_sy[slot] = sy;
+      r0 = rows[slot].data();
+      if (sy1 == sy) r1 = r0;
+    }
+    if (!r1) {
+      int slot = (cached_sy[0] != sy) ? 0 : 1;
+      hresize_row_u8c3(src + static_cast<size_t>(sy1 - src_row0) * sw * 3, sw,
+                       cx, vw, rows[slot].data());
+      cached_sy[slot] = sy1;
+      r1 = rows[slot].data();
+    }
+    uint8_t* dst = out + static_cast<size_t>(j) * out_stride * 3;
+    for (int i = 0; i < vw; ++i) {
+      int oi = flip ? (vw - 1 - i) : i;
+      for (int ch = 0; ch < 3; ++ch) {
+        int v = ((b0 * (r0[i * 3 + ch] >> 4)) >> 16) +
+                ((b1 * (r1[i * 3 + ch] >> 4)) >> 16);
+        dst[oi * 3 + ch] = static_cast<uint8_t>((v + 2) >> 2);
+      }
+    }
+  }
+}
+
+void vss_resize_window_u8c3(const uint8_t* src, int sh, int sw, int rh,
+                            int rw, int y1, int x1, int vh, int vw, int flip,
+                            uint8_t* out, int out_stride) {
+  resize_window_impl(src, 0, sh, sw, rh, rw, y1, x1, vh, vw, flip, out,
+                     out_stride);
+}
+
+namespace {
+
+// Decode only the source rows [r0, r1] (inclusive) of a JPEG into `out`
+// ((r1-r0+1), sw, 3) BGR. jpeg_skip_scanlines (libjpeg-turbo) skips the
+// IDCT/color-convert work for rows above the band; rows below it are
+// abandoned via jpeg_abort_decompress.
+int decode_jpeg_band(const uint8_t* buf, int64_t len, uint8_t* out, int sh,
+                     int sw, int r0, int r1) {
+  jpeg_decompress_struct cinfo;
+  JmpErrorMgr jerr;
+  std::vector<uint8_t> row;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jmp_error_exit;
+  if (setjmp(jerr.env)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  if (static_cast<int>(cinfo.output_height) != sh ||
+      static_cast<int>(cinfo.output_width) != sw ||
+      cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  row.resize(static_cast<size_t>(sw) * 3);
+  uint8_t* rowp = row.data();
+  if (r0 > 0) jpeg_skip_scanlines(&cinfo, static_cast<JDIMENSION>(r0));
+  // jpeg_skip_scanlines may land short of r0 (it skips in iMCU-row units
+  // internally but reports the exact count); trust output_scanline.
+  while (static_cast<int>(cinfo.output_scanline) <= r1) {
+    int y = static_cast<int>(cinfo.output_scanline);
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+    if (y < r0) continue;
+    uint8_t* dst = out + static_cast<size_t>(y - r0) * sw * 3;
+    for (int x = 0; x < sw; ++x) {
+      dst[x * 3 + 0] = rowp[x * 3 + 2];
+      dst[x * 3 + 1] = rowp[x * 3 + 1];
+      dst[x * 3 + 2] = rowp[x * 3 + 0];
+    }
+  }
+  jpeg_abort_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+}  // namespace
+
+// Fused train frame: JPEG band decode → window resize → flip, writing the
+// uint8 BGR crop into `out` (ch, cw, 3), which the caller pre-fills with the
+// pad value. (rh, rw) is the full resized geometry int(s·f+0.5); the valid
+// window is (min(ch, rh-y1), min(cw, rw-x1)) — the remainder keeps the pad.
+// Only the source rows feeding the window are decoded.
+int vss_train_frame(const uint8_t* jpeg, int64_t len, int sh, int sw, int rh,
+                    int rw, int y1, int x1, int ch, int cw, int flip,
+                    uint8_t* out) {
+  int vh = rh - y1 < ch ? rh - y1 : ch;
+  int vw = rw - x1 < cw ? rw - x1 : cw;
+  if (vh <= 0 || vw <= 0) return 0;
+  LinCoef cy = lin_coeffs(sh, rh, y1, vh, /*clamp_frac=*/false);
+  int r_lo = clampi(cy.ofs[0], 0, sh - 1);
+  int r_hi = clampi(cy.ofs[vh - 1] + 1, 0, sh - 1);
+  std::vector<uint8_t> band(static_cast<size_t>(r_hi - r_lo + 1) * sw * 3);
+  int rc = decode_jpeg_band(jpeg, len, band.data(), sh, sw, r_lo, r_hi);
+  if (rc != 0) return rc;
+  resize_window_impl(band.data(), r_lo, sh, sw, rh, rw, y1, x1, vh, vw, flip,
+                     out, cw);
+  return 0;
+}
+
+// Threaded per-clip driver: n same-geometry frames → (n, ch, cw, 3) uint8.
+int vss_train_clip(const uint8_t** jpegs, const int64_t* lens, int n, int sh,
+                   int sw, int rh, int rw, int y1, int x1, int ch, int cw,
+                   int flip, uint8_t* out, int n_threads) {
+  std::atomic<int> status{0};
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      int rc = vss_train_frame(jpegs[i], lens[i], sh, sw, rh, rw, y1, x1, ch,
+                               cw, flip,
+                               out + static_cast<int64_t>(i) * ch * cw * 3);
+      if (rc != 0) {
+        int expected = 0;
+        status.compare_exchange_strong(expected, rc);
+      }
+    }
+  };
+  int workers = n_threads > 0 ? n_threads : 1;
+  if (workers > n) workers = n;
+  std::vector<std::thread> threads;
+  threads.reserve(workers);
+  for (int t = 0; t < workers; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return status.load();
 }
 
 // Threaded clip decode + fused normalize: n frames, each a JPEG buffer of
