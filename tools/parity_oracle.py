@@ -1,0 +1,276 @@
+#!/usr/bin/env python
+"""Maximal accuracy evidence without VSPW data (VERDICT r2, missing #1).
+
+One-shot CPU oracle (minutes, not part of the default suite):
+
+1. **Full-geometry forward parity**: the reference's own torch modules
+   (``mix_transformer.py`` + ``cffm_head.py``, stub-loaded from
+   /root/reference — see ``tests/ref_modules.py``) vs ``CFFMSegmentor`` at
+   the real eval geometry — AlignedResize maps (480, 853) to
+   (480, 864)/32-aligned clips (``local_configs/_base_/datasets/
+   vspw_repeat2.py:19-33``, ``encoder_decoder.py:502-552``). The round-2
+   golden tests pinned 112×112; padding/window/unfold edge behaviour is
+   shape-dependent, so this runs the deployed shape.
+2. **Train-step gradient parity**: torch autograd through the reference
+   modules + the reference clip loss (0.5·CE(per-frame)+CE(refined),
+   ``decode_head.py:743-835``) vs ``jax.grad`` through our model + loss at a
+   mid-size shape, comparing every parameter gradient after mapping torch
+   grads through the same layout conversion as the weights
+   (``utils/torch_convert.convert_segmentor`` is linear, so converting grad
+   tensors yields grads in our parameter layout). This validates the
+   custom-VJP unfold + decoder backward + loss semantics end-to-end. (The
+   Pallas CE/CFM backward *kernels* are TPU-only and are hardware-validated
+   separately by ``tools/validate_tpu.py``; on CPU the identical-math XLA
+   formulations run.)
+
+Results are recorded in PARITY.md. Usage::
+
+    python tools/parity_oracle.py [--skip-forward] [--skip-grad]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+# One-shot *CPU* oracle: never grab the (single, shared) TPU tunnel, and keep
+# f32 end to end so the comparison measures semantics, not MXU bf16-pass
+# rounding (the dev box exports JAX_PLATFORMS=axon — override, don't default).
+# The env var alone does not win over an already-registered PJRT plugin;
+# the config update does (same dance as tests/conftest.py).
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def build_reference(torch, num_clips: int = 4):
+    """Reference mit_b1 + CFFMHead_clips_resize1_8 (the reference's own code).
+
+    dropout_ratio must be > 0 at construction: the reference head builds
+    ``self.dropout = None`` for ratio 0 yet calls it unconditionally
+    (``cffm_head.py:122``). Callers needing determinism in train mode zero
+    the module's ``p`` afterwards (Dropout(p=0) is the identity).
+    """
+    from ref_modules import ref_cffm_head, ref_mix_transformer
+
+    head_mod = ref_cffm_head()
+    mix = ref_mix_transformer()
+    torch.manual_seed(0)
+
+    class RefSegmentor(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = mix.mit_b1(drop_path_rate=0.0)
+            self.decode_head = head_mod.CFFMHead_clips_resize1_8(
+                feature_strides=[4, 8, 16, 32],
+                in_channels=[64, 128, 320, 512],
+                in_index=[0, 1, 2, 3],
+                channels=128,
+                dropout_ratio=0.1,
+                num_classes=124,
+                norm_cfg=dict(type="SyncBN", requires_grad=True),
+                align_corners=False,
+                decoder_params=dict(embed_dim=256, depths=2),
+                loss_decode=dict(type="CrossEntropyLoss"),
+                num_clips=num_clips,
+            )
+
+    return RefSegmentor()
+
+
+def state_dict_numpy(net) -> dict:
+    return {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+
+
+def forward_parity(h: int, w: int) -> dict:
+    import torch
+
+    import jax.numpy as jnp
+
+    from vss_cffm_tpu.models import CFFMSegmentor, build_model_config
+    from vss_cffm_tpu.utils.torch_convert import convert_segmentor
+
+    refnet = build_reference(torch)
+    refnet.eval()
+    rng = np.random.RandomState(0)
+    x = (rng.randn(1, 4, h, w, 3) * 0.5).astype(np.float32)
+
+    t0 = time.time()
+    with torch.no_grad():
+        frames = torch.from_numpy(x[0]).permute(0, 3, 1, 2)
+        feats = refnet.backbone(frames)
+        want = refnet.decode_head(feats, batch_size=1, num_clips=4)
+        want = want.permute(0, 2, 3, 1).numpy()
+    t_torch = time.time() - t0
+
+    cfg = build_model_config("b1")
+    variables = convert_segmentor(state_dict_numpy(refnet), cfg)
+    model = CFFMSegmentor(cfg)  # f32
+    t0 = time.time()
+    got = np.asarray(model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), False,
+    ))
+    t_jax = time.time() - t0
+
+    assert got.shape == want.shape, (got.shape, want.shape)
+    diff = np.abs(got - want)
+    # same tolerance shape as the golden suite: |got-want| ≤ atol + rtol·|want|
+    tol = 2e-3 + 2e-3 * np.abs(want)
+    agree = float((got.argmax(-1) == want.argmax(-1)).mean())
+    out = {
+        "shape": f"{h}x{w}",
+        "max_abs": float(diff.max()),
+        "mean_abs": float(diff.mean()),
+        "max_tol_excess": float((diff - tol).max()),
+        "ref_abs_p99": float(np.percentile(np.abs(want), 99)),
+        "argmax_agreement": agree,
+        "t_torch_s": round(t_torch, 1),
+        "t_jax_s": round(t_jax, 1),
+    }
+    print("forward parity:", out)
+    assert out["max_tol_excess"] <= 0.0, out
+    assert agree > 0.999, out
+    return out
+
+
+def grad_parity(h: int, w: int) -> dict:
+    import torch
+    import torch.nn.functional as F
+
+    import jax
+    import jax.numpy as jnp
+
+    from vss_cffm_tpu.models import CFFMSegmentor, build_model_config
+    from vss_cffm_tpu.models.losses import clip_ce_loss
+    from vss_cffm_tpu.utils.torch_convert import convert_segmentor
+
+    import dataclasses
+
+    import vss_cffm_tpu.models.mit as mit_mod
+
+    refnet = build_reference(torch)
+    # zero every stochastic regularizer (train-mode randomness is not
+    # comparable across frameworks): stochastic-depth probs and Dropout p
+    for m in refnet.modules():
+        if hasattr(m, "drop_prob"):
+            m.drop_prob = 0.0
+        if isinstance(m, (torch.nn.Dropout, torch.nn.Dropout2d)):
+            m.p = 0.0
+    refnet.train()  # BN uses batch stats; dropout/droppath are 0
+    rng = np.random.RandomState(1)
+    x = (rng.randn(1, 4, h, w, 3) * 0.5).astype(np.float32)
+    labels = rng.randint(0, 124, (1, 4, h, w)).astype(np.int64)
+    labels[rng.rand(*labels.shape) < 0.1] = 255
+
+    # ---- torch side: reference modules + reference clip-loss semantics ----
+    frames = torch.from_numpy(x[0]).permute(0, 3, 1, 2)
+    feats = refnet.backbone(frames)
+    logits = refnet.decode_head(feats, batch_size=1, num_clips=4)  # (1,T+1,C,h/4,w/4)
+    lt = torch.from_numpy(labels)
+
+    def ce(lg, lb):
+        # reference CE: mean over ALL pixels, ignored contribute 0
+        # (mmseg cross_entropy avg semantics, losses/utils.py:26-56)
+        up = F.interpolate(lg, size=(h, w), mode="bilinear", align_corners=False)
+        raw = F.cross_entropy(up, lb, ignore_index=255, reduction="sum")
+        return raw / lb.numel()
+
+    loss_t = 0.5 * ce(logits[0, :-1], lt[0]) + ce(logits[0, -1:], lt[0, -1:])
+    loss_t.backward()
+    grads_t = {k: p.grad.detach().numpy() if p.grad is not None else np.zeros(p.shape, np.float32)
+               for k, p in refnet.named_parameters()}
+    # map torch grads through the same layout conversion as the weights;
+    # zero both sides' stochastic regularizers so graphs are deterministic
+    cfg = build_model_config("b1")
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, head=_dc.replace(cfg.head, dropout_ratio=0.0))
+    saved_variant = mit_mod.MIT_VARIANTS[cfg.backbone]
+    mit_mod.MIT_VARIANTS[cfg.backbone] = _dc.replace(saved_variant, drop_path_rate=0.0)
+    gvars = convert_segmentor({**state_dict_numpy(refnet), **grads_t}, cfg)
+
+    # ---- jax side ---------------------------------------------------------
+    variables = convert_segmentor(state_dict_numpy(refnet), cfg)
+    model = CFFMSegmentor(cfg)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x), True, rngs={"dropout": jax.random.PRNGKey(0),
+                                        "droppath": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"],
+        )
+        return clip_ce_loss(out, jnp.asarray(labels, jnp.int32))["loss_seg"]
+
+    loss_j, grads_j = jax.value_and_grad(loss_fn)(variables["params"])
+    mit_mod.MIT_VARIANTS[cfg.backbone] = saved_variant
+
+    out = {"shape": f"{h}x{w}", "loss_torch": float(loss_t.detach()),
+           "loss_jax": float(loss_j),
+           "loss_rel_err": abs(float(loss_t.detach()) - float(loss_j))
+           / max(abs(float(loss_t.detach())), 1e-12)}
+
+    flat_t = jax.tree_util.tree_leaves_with_path(gvars["params"])
+    flat_j_map = {jax.tree_util.keystr(k): v for k, v in
+                  jax.tree_util.tree_leaves_with_path(grads_j)}
+    # Noise floor for the per-parameter relative error: parameters whose true
+    # gradient is exactly zero by algebra (the linear_cX biases — a
+    # per-channel constant added immediately before a train-mode BatchNorm is
+    # cancelled by the batch-mean subtraction) come out as O(eps)
+    # cancellation noise in BOTH frameworks; dividing noise by noise is
+    # meaningless, so the denominator is floored at 1e-4 of the global
+    # gradient scale.
+    gmax = max(float(np.abs(np.asarray(g, np.float32)).max()) for _, g in flat_t)
+    worst = ("", 0.0, 0.0)
+    rels = []
+    floored = []
+    for path, gt in flat_t:
+        key = jax.tree_util.keystr(path)
+        gj = np.asarray(flat_j_map[key], np.float32)
+        gt = np.asarray(gt, np.float32)
+        scale = float(np.abs(gt).max())
+        if scale < 1e-4 * gmax:
+            floored.append(key)
+        rel = float(np.abs(gj - gt).max()) / max(scale, 1e-4 * gmax)
+        rels.append(rel)
+        if rel > worst[1]:
+            worst = (key, rel, scale)
+    out["n_params"] = len(rels)
+    out["grad_rel_max"] = round(max(rels), 6)
+    out["grad_rel_median"] = round(float(np.median(rels)), 8)
+    out["worst_param"] = worst[0]
+    out["zero_grad_params_floored"] = floored
+    print("grad parity:", out)
+    assert out["loss_rel_err"] < 1e-4, out
+    assert out["grad_rel_max"] < 5e-2, out  # f32 accumulation-order noise
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-forward", action="store_true")
+    ap.add_argument("--skip-grad", action="store_true")
+    ap.add_argument("--fwd-shape", type=int, nargs=2, default=(480, 864),
+                    help="AlignedResize/32 output for (480, 853) inputs")
+    ap.add_argument("--grad-shape", type=int, nargs=2, default=(160, 160))
+    args = ap.parse_args()
+    results = {}
+    if not args.skip_forward:
+        results["forward"] = forward_parity(*args.fwd_shape)
+    if not args.skip_grad:
+        results["grad"] = grad_parity(*args.grad_shape)
+    print("PARITY ORACLE PASS")
+    return results
+
+
+if __name__ == "__main__":
+    main()
