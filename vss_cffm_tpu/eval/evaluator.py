@@ -103,7 +103,7 @@ class ClipEvaluator:
         if imgs.dtype == jnp.uint8:  # device-side normalization path
             from ..train.step import device_normalize
 
-            imgs = device_normalize(imgs)
+            imgs = device_normalize(imgs, getattr(self.model, "dtype", jnp.float32))
 
         image_arch = getattr(self.model.config, "arch", "cffm") == "image"
 
@@ -145,7 +145,7 @@ class ClipEvaluator:
             if imgs.dtype == jnp.uint8:  # device-side normalization path
                 from ..train.step import device_normalize
 
-                imgs = device_normalize(imgs)
+                imgs = device_normalize(imgs, getattr(self.model, "dtype", jnp.float32))
             return self.model.apply(
                 {"params": self.params, "batch_stats": self.batch_stats},
                 imgs, False, centers,
@@ -274,7 +274,7 @@ class StreamingVideoEvaluator(ClipEvaluator):
             if frames.dtype == jnp.uint8:
                 from ..train.step import device_normalize as dev_norm
 
-                frames = dev_norm(frames)
+                frames = dev_norm(frames, getattr(self.model, "dtype", jnp.float32))
             return self.model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 frames, method=self.model.frame_features,

@@ -213,12 +213,15 @@ def _flatten_frames(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _phase_i32(labels: jnp.ndarray, s: int) -> jnp.ndarray:
-    """``labels_to_phase`` with the minor-dims transpose done in uint8.
+    """``labels_to_phase`` with the transpose done — and kept — in uint8.
 
     Segmentation labels fit a byte (≤124 classes + 255 ignore); the phase
     transpose swaps the last two dims, which XLA materializes as a strided
-    copy — doing it at 1/4 the width cut ~2.5 ms off the B=8 train step."""
-    return _ceu.labels_to_phase(labels.astype(jnp.uint8), s).astype(jnp.int32)
+    copy. Converting back to i32 here lets XLA fuse the widening INTO the
+    transpose (observed: the s32-width relayout returned, ~3 ms at B=8), so
+    the phase tensor stays u8 end-to-end and the CE kernels widen per-block
+    in VMEM (their label reads are ``.astype(int32)``-wrapped)."""
+    return _ceu.labels_to_phase(labels.astype(jnp.uint8), s)
 
 
 # None = auto (fused Pallas CE on TPU when the geometry allows); tests set

@@ -133,7 +133,9 @@ def _fwd_kernel(prev_ref, cur_ref, next_ref, lbl_ref, nll_ref, pred_ref, lse_ref
             e = jnp.exp(up - m)
             lse = m[..., 0] + jnp.log(jnp.sum(e, axis=-1))
             pidx = ph * s + pw
-            lbl = lbl_ref[0, :, pidx]  # (ch, w) int32
+            # labels arrive i32 or u8 (the loss keeps the phase tensor u8 so
+            # the XLA-side transpose runs at 1/4 width); widen in-VMEM
+            lbl = lbl_ref[0, :, pidx].astype(jnp.int32)  # (ch, w)
             safe = jnp.where((lbl >= 0) & (lbl < num_classes), lbl, 0)
             picked = jnp.sum(jnp.where(iota_c == safe[..., None], up, 0.0), axis=-1)
             nll_ref[0, :, pidx] = lse - picked
@@ -251,7 +253,7 @@ def _bwd_kernel(xprev_ref, xcur_ref, xnext_ref,
             gv = jnp.where(first & (row == 0), 0.0, gv)
             gv = jnp.where(last & (row == he - 1), 0.0, gv)
             lse = halo(sprev_ref, scur_ref, snext_ref)
-            lbl = halo(lprev_ref, lcur_ref, lnext_ref)
+            lbl = halo(lprev_ref, lcur_ref, lnext_ref).astype(jnp.int32)
             safe = jnp.where((lbl >= 0) & (lbl < num_classes), lbl, 0)
 
             sm = jnp.exp(up - lse[..., None])
@@ -404,7 +406,7 @@ def _fwd_loss_kernel(prev_ref, cur_ref, next_ref, lbl_ref, wsum_ref, corr_ref,
             m = jnp.max(up, axis=-1, keepdims=True)
             e = jnp.exp(up - m)
             lse = m[..., 0] + jnp.log(jnp.sum(e, axis=-1))
-            lbl = lbl_ref[0, :, ph * s + pw]  # (ch, w) int32
+            lbl = lbl_ref[0, :, ph * s + pw].astype(jnp.int32)  # (ch, w)
             valid = (lbl >= 0) & (lbl < num_classes)
             safe = jnp.where(valid, lbl, 0)
             picked = jnp.sum(jnp.where(iota_c == safe[..., None], up, 0.0), axis=-1)
@@ -506,7 +508,7 @@ def _bwd_loss_kernel(xprev_ref, xcur_ref, xnext_ref,
                 b = jnp.where(i < g - 1, ref_n[0, 0, pidx], ref_c[0, ch - 1, pidx])
                 return jnp.concatenate([a[None], ref_c[0, :, pidx], b[None]], 0)
 
-            lbl = halo(lprev_ref, lcur_ref, lnext_ref)  # (he, w)
+            lbl = halo(lprev_ref, lcur_ref, lnext_ref).astype(jnp.int32)  # (he, w)
             valid = (lbl >= 0) & (lbl < num_classes)
             safe = jnp.where(valid, lbl, 0)
             gv = jnp.where(valid, ct, 0.0)
@@ -660,7 +662,7 @@ def ce_upsampled_nll_xla(logits, labels_ph, s: int):
     n, h, w, c = logits.shape
     up = resize_bilinear(logits.astype(jnp.float32), (h * s, w * s))
     lse = jax.scipy.special.logsumexp(up, axis=-1)
-    lbl = phase_to_natural(labels_ph, s)
+    lbl = phase_to_natural(labels_ph, s).astype(jnp.int32)
     # out-of-range (ignored) labels pick class 0, matching the kernel and
     # ``losses.cross_entropy`` — those pixels are masked by every consumer
     safe = jnp.where((lbl >= 0) & (lbl < c), lbl, 0)

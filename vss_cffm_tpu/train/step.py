@@ -26,17 +26,23 @@ from .state import TrainState
 __all__ = ["make_train_step", "make_eval_step", "device_normalize"]
 
 
-def device_normalize(imgs_u8: jnp.ndarray) -> jnp.ndarray:
-    """uint8 BGR → f32 RGB normalized, inside the jitted step.
+def device_normalize(imgs_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 BGR → normalized RGB in ``dtype``, inside the jitted step.
 
     Bit-identical to the host-side ``transforms.normalize_clip`` (mmcv
     imnormalize) but moves the work on-device: uint8 batches are 4× smaller
     over H2D and the single host CPU skips one full-image pass per frame.
+
+    The normalize math always runs in f32; ``dtype`` only selects the
+    output storage. Passing the model's compute dtype (bf16) fuses the
+    cast the model would do anyway into the normalize fusion — the f32
+    batch is never materialized in HBM (a 352 MB write + read at the
+    reference train geometry, ~1.5 ms/step of pure bandwidth).
     """
     x = imgs_u8[..., ::-1].astype(jnp.float32)  # BGR → RGB
     mean = jnp.asarray(np.asarray(IMG_MEAN, np.float32))
     std = jnp.asarray(np.asarray(IMG_STD, np.float32))
-    return (x - mean) / std
+    return ((x - mean) / std).astype(dtype)
 
 
 def make_train_step(
@@ -66,7 +72,7 @@ def make_train_step(
 
         imgs = batch["imgs"]
         if imgs.dtype == jnp.uint8:
-            imgs = device_normalize(imgs)
+            imgs = device_normalize(imgs, getattr(model, "dtype", jnp.float32))
 
         def loss_fn(params):
             out, mutated = model.apply(
