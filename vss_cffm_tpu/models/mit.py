@@ -82,6 +82,10 @@ class MiTConfig:
     norm_eps: float = 1e-6  # block/stage norms (reference ``:378`` partial eps)
     # dwconv implementation: None = auto (Pallas on TPU, XLA elsewhere)
     dwconv_impl: str | None = None
+    # patch-embed implementation: None = strided nn.Conv; "im2col" = strided
+    # slices + dense (identical params/math; makes the backbone conv-free so
+    # XLA keeps default layouts around Pallas calls — see MixFFN)
+    embed_impl: str | None = None
 
 
 # Reference variant table (``mix_transformer.py:373-424``).
@@ -122,26 +126,87 @@ class _NonOverlapConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class _Im2ColConv(nn.Module):
+    """Strided overlap conv as strided slices + one dense matmul.
+
+    Parameter tree identical to ``nn.Conv`` (kernel (k, k, Cin, Cout) +
+    bias) so checkpoints are interchangeable with the conv formulation.
+    Patch channels are ordered (di, dj, c) row-major, matching
+    ``kernel.reshape(k*k*Cin, Cout)``. Emits zero convolution HLOs: with
+    every patch embed in this form the backbone graph is conv-free, XLA's
+    layout assignment keeps default (row-major) layouts throughout, and a
+    Pallas custom call inside the backbone no longer drags relayout copies
+    through the producer chain (the round-3 "layout contagion" that made
+    the fused MixFFN kernel a net loss).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        k, s = self.kernel_size, self.stride
+        assert k <= 2 * s, "block-pair extraction needs k <= 2*stride"
+        kernel = self.param("kernel", _conv_fanout_init, (k, k, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad = k // 2
+        ho = (h + 2 * pad - k) // s + 1
+        wo = (w + 2 * pad - k) // s + 1
+        # Block-pair space-to-depth: strided slices serialize on TPU (a
+        # direct 49-strided-slice im2col measured 8.6 ms at 480²), so
+        # instead pad by one full stride block on the left, split into
+        # (s, s) blocks, and give every output token its 2×2 block
+        # neighbourhood — a reshape plus four *contiguous* slices. The k×k
+        # window of output i lives inside blocks (i, i+1) because k ≤ 2s;
+        # the kernel is zero-embedded at offset s-pad into a (2s, 2s) tap
+        # grid so the single matmul applies the exact conv.
+        hp, wp = (ho + 1) * s, (wo + 1) * s
+        xp = jnp.pad(x, ((0, 0), (s, hp - h - s), (s, wp - w - s), (0, 0)))
+        xb = xp.reshape(b, hp // s, s, wp // s, s, c)
+        xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // s, wp // s, s * s * c)
+        patches = jnp.concatenate(
+            [xb[:, :-1, :-1], xb[:, :-1, 1:], xb[:, 1:, :-1], xb[:, 1:, 1:]],
+            axis=-1,
+        ).astype(self.dtype)  # (B, ho, wo, 4*s*s*C), taps (b_r, b_c, r, c, chan)
+        k8 = jnp.zeros((2 * s, 2 * s, c, self.features), kernel.dtype)
+        k8 = jax.lax.dynamic_update_slice(k8, kernel, (s - pad, s - pad, 0, 0))
+        km = (
+            k8.reshape(2, s, 2, s, c, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4 * s * s * c, self.features)
+            .astype(self.dtype)
+        )
+        return patches @ km + bias.astype(self.dtype)
+
+
 class OverlapPatchEmbed(nn.Module):
     """Strided conv patch embed + LayerNorm (reference ``:160-200``)."""
 
     embed_dim: int
     patch_size: int
     stride: int
+    impl: str | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, H, W, C) -> (B, H', W', D)
         pad = self.patch_size // 2
-        x = nn.Conv(
-            self.embed_dim,
-            (self.patch_size, self.patch_size),
-            strides=(self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)],
-            kernel_init=_conv_fanout_init,
-            dtype=self.dtype,
-            name="proj",
-        )(x)
+        if self.impl == "im2col":
+            x = _Im2ColConv(self.embed_dim, self.patch_size, self.stride,
+                            self.dtype, name="proj")(x)
+        else:
+            x = nn.Conv(
+                self.embed_dim,
+                (self.patch_size, self.patch_size),
+                strides=(self.stride, self.stride),
+                padding=[(pad, pad), (pad, pad)],
+                kernel_init=_conv_fanout_init,
+                dtype=self.dtype,
+                name="proj",
+            )(x)
         # Patch-embed norm keeps torch's default eps=1e-5 (not the 1e-6
         # partial — reference ``:175`` uses bare nn.LayerNorm).
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
@@ -185,8 +250,26 @@ class SRAttention(nn.Module):
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         if self.attn_drop > 0.0:
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, self.dim)
-        out = nn.Dense(self.dim, kernel_init=_dense_init, dtype=self.dtype, name="proj")(out)
+        # Head merge fused into the output projection (num_heads > 1 only):
+        # contracting (head, head_dim) jointly against the proj kernel
+        # reshaped (nh, hd, C) skips the materialized (B, q, nh, hd)
+        # transpose XLA otherwise emits per block forward AND backward
+        # (B=8 train profile: ~2 ms/step across stages 2-3). With a single
+        # head the merge is already a free reshape and the 3-operand einsum
+        # lowers worse — keep the plain Dense there. Same params either way
+        # (dense kernel rows are (h·d)-flattened head-major).
+        kp, bp = _DenseParams(self.dim, self.dim, name="proj")()
+        if self.num_heads > 1:
+            ctx = jnp.einsum("bhqk,bkhd->bhqd", attn, v)
+            out = jnp.einsum(
+                "bhqd,hdc->bqc",
+                ctx,
+                kp.astype(self.dtype).reshape(self.num_heads, head_dim, self.dim),
+            ) + bp.astype(self.dtype)
+            out = out.reshape(b, h, w, self.dim)
+        else:
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, self.dim)
+            out = out @ kp.astype(self.dtype) + bp.astype(self.dtype)
         if self.proj_drop > 0.0:
             out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
@@ -333,6 +416,7 @@ class MiT(nn.Module):
                 cfg.embed_dims[s],
                 cfg.patch_sizes[s],
                 cfg.patch_strides[s],
+                cfg.embed_impl,
                 self.dtype,
                 name=f"patch_embed{s + 1}",
             )(x)

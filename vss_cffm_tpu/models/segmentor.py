@@ -53,12 +53,16 @@ class SegmentorConfig:
     arch: str = "cffm"  # "cffm" (clip) | "image" (single-frame SegFormer)
     # backbone dwconv implementation override: None = auto (Pallas on TPU)
     dwconv_impl: str | None = None
+    # backbone patch-embed implementation: None = strided conv; "im2col" =
+    # conv-free slices+dense (see models/mit.py:_Im2ColConv)
+    embed_impl: str | None = None
     test_cfg: TestConfig = dataclasses.field(default_factory=TestConfig)
 
     @property
     def backbone_config(self) -> MiTConfig:
         return dataclasses.replace(MIT_VARIANTS[self.backbone],
-                                   dwconv_impl=self.dwconv_impl)
+                                   dwconv_impl=self.dwconv_impl,
+                                   embed_impl=self.embed_impl)
 
 
 def build_segmentor(config: "SegmentorConfig", dtype=jnp.float32):
