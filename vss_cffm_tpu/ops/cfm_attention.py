@@ -1,4 +1,4 @@
-"""Fused CFM window attention — Pallas TPU kernel.
+"""Fused CFM window attention — Pallas TPU kernels.
 
 Fuses the score assembly + bias/mask add + f32 softmax + AV of the CFM
 attention (see ``models/cffm_transformer.CFFMWindowAttention``) into one
@@ -14,13 +14,20 @@ pre-transposes Q/K/V to head-major layouts *once* in XLA — cheap bf16
 copies — and the kernel grid is (heads, window-tiles), so each program
 works on plain 2-D (window, source) tiles with zero in-kernel relayout:
 
-  q  (nh, nW, 49, hd)   k^T (nh, nW, hd, N)   v (nh, nW, N, hd)
+  q  (nh, nW, 49, hd)   kᵀ_g (nh, nW, hd, n_g)   v_g (nh, nW, n_g, hd)
 
-The K/V *assembly* (window partition, rolls, patch extraction) stays in
-XLA — those are structured reshapes/convolutions the compiler already
-lowers well; the kernel takes the concatenated K/V.
+**Grouped K/V (round 3)**: the K/V source groups (own window, rolled
+neighbours, per-level pooled patches) are passed as SEPARATE refs and the
+kernel concatenates the tiles in VMEM (lane/sublane copies, no HBM) so
+the MXU keeps single-matmul shapes. Round 2 concatenated K/V in XLA; the
+concat + window-pad + backward group-split cost ~6 ms of the B=8 train
+step as pure HBM traffic. The window axis is likewise un-padded: the grid
+ceil-divides nW and Pallas masks the ragged tail writes (the backward
+masks the tail's dbias contribution explicitly — dbias is the only
+cross-window reduction).
 
-API::
+API (unchanged from round 2 — bias/mask arrive concatenated; both are
+small and feed the kernel whole)::
 
     out = cfm_attention(q, ks, vs, bias, mask, nh)   # window-major
       q    (nW, 49, nh*hd)
@@ -30,11 +37,11 @@ API::
       mask (nW, N)       additive 0 / −100
 
 Differentiable: the Pallas forward carries a ``jax.custom_vjp``; in
-training the forward kernel additionally saves the softmax probabilities
-and a second Pallas kernel computes dq/dk/dv/dbias from them directly —
-no forward recompute, no XLA replay. (Set ``_BWD='xla'`` to fall back to
-the VJP of the identical-math XLA formulation, which is also the test
-oracle.) Falls back to the XLA formulation off-TPU.
+training the forward kernel additionally saves the per-group softmax
+probabilities and a second Pallas kernel computes dq/dk/dv/dbias from them
+directly — no forward recompute, no XLA replay. (Set ``_BWD='xla'`` to
+fall back to the VJP of the identical-math XLA formulation, which is also
+the test oracle.) Falls back to the XLA formulation off-TPU.
 """
 
 from __future__ import annotations
@@ -49,142 +56,179 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["cfm_attention"]
 
+_TW = 8
 
-def _softmax_probs(q, kt, bias_ref, mask_ref):
+
+def _group_sizes(ks) -> list[int]:
+    return [int(k.shape[1]) for k in ks]
+
+
+def _head_major(q, ks, vs, nh: int):
+    """Per-group head-major Qᵀ/Kᵀ/V — no concat, no window padding."""
+    n_w0, area, c = q.shape
+    hd = c // nh
+    scale = hd**-0.5
+    qh = (q * scale).reshape(n_w0, area, nh, hd).transpose(2, 0, 1, 3)
+    kts = tuple(
+        k.reshape(n_w0, k.shape[1], nh, hd).transpose(2, 0, 3, 1) for k in ks
+    )  # (nh, nW, hd, n_g)
+    vhs = tuple(
+        v.reshape(n_w0, v.shape[1], nh, hd).transpose(2, 0, 1, 3) for v in vs
+    )  # (nh, nW, n_g, hd)
+    return qh, kts, vhs
+
+
+def _fwd_kernel(*refs, G: int, with_probs: bool):
+    """One program = one (head, tile of tw windows).
+
+    The per-group K/V tiles are concatenated IN VMEM (lane/sublane copies,
+    no HBM traffic) so the MXU sees the round-2 single-matmul shapes —
+    per-group matmuls would pad every n_g to a full 128-lane tile
+    (measured +2.4 ms/step on the fwd at the B=8 train geometry).
+    """
+    q_ref = refs[0]
+    kts = refs[1 : 1 + G]
+    vhs = refs[1 + G : 1 + 2 * G]
+    bias_ref = refs[1 + 2 * G]
+    mask_ref = refs[2 + 2 * G]
+    o_ref = refs[3 + 2 * G]
+    p_ref = refs[4 + 2 * G] if with_probs else None
+
+    q = q_ref[0]  # (tw, 49, hd)
+    kt_all = jnp.concatenate([r[0] for r in kts], axis=-1)  # (tw, hd, N)
+    v_all = jnp.concatenate([r[0] for r in vhs], axis=1)    # (tw, N, hd)
     scores = jax.lax.dot_general(
-        q, kt,
+        q, kt_all,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (tw, 49, N) f32
+    )  # (tw, 49, N)
     scores = scores + bias_ref[0][None]
     scores = scores + mask_ref[...][:, None, :]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
-
-
-def _kernel(q_ref, kt_ref, v_ref, bias_ref, mask_ref, o_ref):
-    """One program = one (head, tile of tw windows)."""
-    p = _softmax_probs(q_ref[0], kt_ref[0], bias_ref, mask_ref)
-    v = v_ref[0]  # (tw, N, hd)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        p.astype(v.dtype), v,
+        p.astype(v_all.dtype), v_all,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (tw, 49, hd)
     o_ref[0] = out.astype(o_ref.dtype)
+    if with_probs:
+        p_ref[0] = p.astype(p_ref.dtype)
 
 
-def _kernel_with_p(q_ref, kt_ref, v_ref, bias_ref, mask_ref, o_ref, p_ref):
-    """Forward that also materialises the probabilities (training residual)."""
-    p = _softmax_probs(q_ref[0], kt_ref[0], bias_ref, mask_ref)
-    v = v_ref[0]
-    out = jax.lax.dot_general(
-        p.astype(v.dtype), v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = out.astype(o_ref.dtype)
-    p_ref[0] = p.astype(p_ref.dtype)
-
-
-def _bwd_kernel(p_ref, g_ref, qs_ref, kt_ref, v_ref,
-                dq_ref, dk_ref, dv_ref, dbias_ref):
+def _bwd_kernel(*refs, G: int, tw: int, n_w0: int, gsizes: tuple):
     """Attention backward from saved probabilities (no forward recompute).
 
     dP = g·Vᵀ; dS = P ∘ (dP − Σ_k dP∘P); dqs = dS·K; dK = dSᵀ·qs;
-    dV = Pᵀ·g; dbias = Σ_windows dS (accumulated across window tiles — the
-    dbias output block is revisited for every i at fixed head).
+    dV = Pᵀ·g; dbias = Σ_valid-windows dS (the dbias output block is
+    revisited for every window tile at fixed head; ragged-tail rows are
+    masked since Pallas pads out-of-range reads with garbage). K/V group
+    tiles concatenate in VMEM for single-matmul MXU shapes; dK/dV write
+    back through per-group sublane slices.
     """
+    p_ref = refs[0]
+    g_ref, qs_ref = refs[1], refs[2]
+    kts = refs[3 : 3 + G]
+    vhs = refs[3 + G : 3 + 2 * G]
+    dq_ref = refs[3 + 2 * G]
+    dk_refs = refs[4 + 2 * G : 4 + 3 * G]
+    dv_refs = refs[4 + 3 * G : 4 + 4 * G]
+    db_ref = refs[4 + 4 * G]
+
     i = pl.program_id(1)
+    gcot = g_ref[0]  # (tw, 49, hd) bf16
+    kt_all = jnp.concatenate([r[0] for r in kts], axis=-1)  # (tw, hd, N)
+    v_all = jnp.concatenate([r[0] for r in vhs], axis=1)    # (tw, N, hd)
     p = p_ref[0].astype(jnp.float32)  # (tw, 49, N)
-    g = g_ref[0]  # (tw, 49, hd) bf16
-    v = v_ref[0]  # (tw, N, hd)
     dp = jax.lax.dot_general(
-        g, v,
+        gcot, v_all,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (tw, 49, N)
     r = jnp.sum(dp * p, axis=-1, keepdims=True)
     ds = p * (dp - r)  # (tw, 49, N) f32
-    ds_b = ds.astype(g.dtype)
-    kt = kt_ref[0]  # (tw, hd, N)
+    ds_b = ds.astype(gcot.dtype)
     dq_ref[0] = jax.lax.dot_general(
-        ds_b, kt,
+        ds_b, kt_all,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(dq_ref.dtype)  # (tw, 49, hd)
-    qs = qs_ref[0]  # (tw, 49, hd)
-    dk_ref[0] = jax.lax.dot_general(
+    qs = qs_ref[0]
+    dk_all = jax.lax.dot_general(
         ds_b, qs,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).astype(dk_ref.dtype)  # (tw, N, hd)
-    dv_ref[0] = jax.lax.dot_general(
-        p.astype(g.dtype), g,
+    )  # (tw, N, hd)
+    dv_all = jax.lax.dot_general(
+        p.astype(gcot.dtype), gcot,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).astype(dv_ref.dtype)  # (tw, N, hd)
-    db = jnp.sum(ds, axis=0)  # (49, N)
+    )  # (tw, N, hd)
+    off = 0
+    for g in range(G):
+        n_g = gsizes[g]
+        dk_refs[g][0] = dk_all[:, off : off + n_g].astype(dk_refs[g].dtype)
+        dv_refs[g][0] = dv_all[:, off : off + n_g].astype(dv_refs[g].dtype)
+        off += n_g
+
+    valid = (i * tw + jax.lax.broadcasted_iota(jnp.int32, (tw, 1, 1), 0)) < n_w0
+    db = jnp.sum(jnp.where(valid, ds, 0.0), axis=0)  # (49, N)
 
     @pl.when(i == 0)
     def _():
-        dbias_ref[0] = db
+        db_ref[0] = db
 
     @pl.when(i > 0)
     def _():
-        dbias_ref[0] = dbias_ref[0] + db
+        db_ref[0] = db_ref[0] + db
 
 
-_TW = 8
-
-
-def _head_major(q, ks, vs, mask, nh: int):
-    """Pad the window axis to the tile and build head-major Q/Kᵀ/V."""
-    n_w0, area, c = q.shape
-    hd = c // nh
-    scale = hd**-0.5
-    n_w = -(-n_w0 // _TW) * _TW
-    k_all = jnp.concatenate(ks, axis=1)
-    v_all = jnp.concatenate(vs, axis=1)
-    n_total = k_all.shape[1]
-    if n_w != n_w0:
-        pad = [(0, n_w - n_w0)]
-        q = jnp.pad(q, pad + [(0, 0), (0, 0)])
-        k_all = jnp.pad(k_all, pad + [(0, 0), (0, 0)])
-        v_all = jnp.pad(v_all, pad + [(0, 0), (0, 0)])
-        mask = jnp.pad(mask, pad + [(0, 0)])
-    qh = (q * scale).reshape(n_w, area, nh, hd).transpose(2, 0, 1, 3)
-    kt = k_all.reshape(n_w, n_total, nh, hd).transpose(2, 0, 3, 1)  # (nh,nW,hd,N)
-    vh = v_all.reshape(n_w, n_total, nh, hd).transpose(2, 0, 1, 3)  # (nh,nW,N,hd)
-    return qh, kt, vh, mask, n_w, n_total
-
-
-@functools.partial(jax.jit, static_argnames=("nh", "interpret", "with_probs"))
+@functools.partial(jax.jit,
+                   static_argnames=("nh", "interpret", "with_probs", "grouped"))
 def _cfm_attention_pallas_impl(q, ks, vs, bias, mask, nh: int,
-                               interpret: bool = False, with_probs: bool = False):
+                               interpret: bool = False, with_probs: bool = False,
+                               grouped: bool = True):
+    """``grouped`` selects the K/V HBM layout. True: one ref per source
+    group, zero XLA-side concat/pad — wins in training, where the concat +
+    window-pad + backward splits cost ~5 ms/step at B=8. False: groups are
+    packed into one ref by an XLA concat first — wins at inference batch
+    sizes, where the concat is ~0.1 ms and the grouped layout's per-group
+    lane padding (each n_g rounds up to 128 lanes in HBM) would add more
+    read traffic than the concat costs (measured 4.42 → 4.79 ms fwd).
+    """
     n_w0, area, c = q.shape
     hd = c // nh
-    qh, kt, vh, mask_p, n_w, n_total = _head_major(q, ks, vs, mask, nh)
+    if not grouped:
+        ks = [jnp.concatenate(list(ks), axis=1)]
+        vs = [jnp.concatenate(list(vs), axis=1)]
+    gsizes = _group_sizes(ks)
+    G = len(gsizes)
+    n_total = sum(gsizes)
+    qh, kts, vhs = _head_major(q, ks, vs, nh)
 
-    grid = (nh, n_w // _TW)  # window-tile minor: bias/q re-fetch only per head
-    in_specs = [
-        pl.BlockSpec((1, _TW, area, hd), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, _TW, hd, n_total), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, _TW, n_total, hd), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, area, n_total), lambda h, i: (h, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_TW, n_total), lambda h, i: (i, 0), memory_space=pltpu.VMEM),
-    ]
-    out_spec = pl.BlockSpec(
-        (1, _TW, area, hd), lambda h, i: (h, i, 0, 0), memory_space=pltpu.VMEM
-    )
+    grid = (nh, -(-n_w0 // _TW))  # window-tile minor; ragged tail masked
+    q_spec = pl.BlockSpec((1, _TW, area, hd), lambda h, i: (h, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kt_specs = [pl.BlockSpec((1, _TW, hd, g), lambda h, i: (h, i, 0, 0),
+                             memory_space=pltpu.VMEM) for g in gsizes]
+    v_specs = [pl.BlockSpec((1, _TW, g, hd), lambda h, i: (h, i, 0, 0),
+                            memory_space=pltpu.VMEM) for g in gsizes]
+    bias_spec = pl.BlockSpec((1, area, n_total), lambda h, i: (h, 0, 0),
+                             memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((_TW, n_total), lambda h, i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, _TW, area, hd), lambda h, i: (h, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    operands = (qh, *kts, *vhs, bias.astype(jnp.float32), mask.astype(jnp.float32))
+    in_specs = [q_spec, *kt_specs, *v_specs, bias_spec, mask_spec]
     if with_probs:
+        p_dtype = _PROBS_DTYPE or q.dtype
         out, probs = pl.pallas_call(
-            _kernel_with_p,
+            functools.partial(_fwd_kernel, G=G, with_probs=True),
             out_shape=(
-                jax.ShapeDtypeStruct((nh, n_w, area, hd), q.dtype),
-                jax.ShapeDtypeStruct((nh, n_w, area, n_total),
-                                     _PROBS_DTYPE or q.dtype),
+                jax.ShapeDtypeStruct((nh, n_w0, area, hd), q.dtype),
+                jax.ShapeDtypeStruct((nh, n_w0, area, n_total), p_dtype),
             ),
             grid=grid,
             in_specs=in_specs,
@@ -193,72 +237,79 @@ def _cfm_attention_pallas_impl(q, ks, vs, bias, mask, nh: int,
                                     lambda h, i: (h, i, 0, 0),
                                     memory_space=pltpu.VMEM)),
             interpret=interpret,
-        )(qh, kt, vh, bias.astype(jnp.float32), mask_p.astype(jnp.float32))
-        return out.transpose(1, 2, 0, 3).reshape(n_w, area, c)[:n_w0], probs
+        )(*operands)
+        return out.transpose(1, 2, 0, 3).reshape(n_w0, area, c), probs
     out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((nh, n_w, area, hd), q.dtype),
+        functools.partial(_fwd_kernel, G=G, with_probs=False),
+        out_shape=jax.ShapeDtypeStruct((nh, n_w0, area, hd), q.dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
         interpret=interpret,
-    )(qh, kt, vh, bias.astype(jnp.float32), mask_p.astype(jnp.float32))
+    )(*operands)
     # (nh, nW, 49, hd) -> (nW, 49, C)
-    return out.transpose(1, 2, 0, 3).reshape(n_w, area, c)[:n_w0]
+    return out.transpose(1, 2, 0, 3).reshape(n_w0, area, c)
 
 
 @functools.partial(jax.jit, static_argnames=("nh", "interpret"))
-def _cfm_attention_bwd_pallas(q, ks, vs, mask, probs, g, nh: int,
+def _cfm_attention_bwd_pallas(q, ks, vs, probs, g, nh: int,
                               interpret: bool = False):
     """Gradients (dq, dks, dvs, dbias) from the saved probabilities."""
     n_w0, area, c = q.shape
     hd = c // nh
     scale = hd**-0.5
-    qh, kt, vh, _, n_w, n_total = _head_major(q, ks, vs, mask, nh)
-    if n_w != n_w0:  # padded windows carry zero cotangent
-        g = jnp.pad(g, [(0, n_w - n_w0), (0, 0), (0, 0)])
-    gh = g.reshape(n_w, area, nh, hd).transpose(2, 0, 1, 3)
+    gsizes = _group_sizes(ks)
+    G = len(gsizes)
+    n_total = sum(gsizes)
+    qh, kts, vhs = _head_major(q, ks, vs, nh)
+    gh = g.reshape(n_w0, area, nh, hd).transpose(2, 0, 1, 3)
 
-    grid = (nh, n_w // _TW)
-    blk = lambda shape: pl.BlockSpec(shape, lambda h, i: (h, i, 0, 0),
-                                     memory_space=pltpu.VMEM)
-    dq_h, dk_h, dv_h, dbias = pl.pallas_call(
-        _bwd_kernel,
+    grid = (nh, -(-n_w0 // _TW))
+    blk = lambda *shape: pl.BlockSpec((1, _TW) + shape, lambda h, i: (h, i, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, G=G, tw=_TW, n_w0=n_w0,
+                          gsizes=tuple(gsizes)),
         out_shape=(
-            # dq/dk/dv in the compute dtype: the downstream group splits and
-            # head-merge transposes then move half the bytes (f32 outputs
-            # cost 1.4 ms/step in slices alone)
-            jax.ShapeDtypeStruct((nh, n_w, area, hd), q.dtype),
-            jax.ShapeDtypeStruct((nh, n_w, n_total, hd), q.dtype),
-            jax.ShapeDtypeStruct((nh, n_w, n_total, hd), q.dtype),
+            # dq/dk/dv in the compute dtype: the downstream head-merge
+            # transposes then move half the bytes
+            jax.ShapeDtypeStruct((nh, n_w0, area, hd), q.dtype),
+            *[jax.ShapeDtypeStruct((nh, n_w0, g, hd), q.dtype) for g in gsizes],
+            *[jax.ShapeDtypeStruct((nh, n_w0, g, hd), q.dtype) for g in gsizes],
             jax.ShapeDtypeStruct((nh, area, n_total), jnp.float32),
         ),
         grid=grid,
         in_specs=[
-            blk((1, _TW, area, n_total)),   # probs
-            blk((1, _TW, area, hd)),        # g
-            blk((1, _TW, area, hd)),        # q·scale
-            blk((1, _TW, hd, n_total)),     # kᵀ
-            blk((1, _TW, n_total, hd)),     # v
+            blk(area, n_total),                # probs
+            blk(area, hd),                     # g
+            blk(area, hd),                     # q·scale
+            *[blk(hd, g) for g in gsizes],     # kᵀ
+            *[blk(g, hd) for g in gsizes],     # v
         ],
         out_specs=(
-            blk((1, _TW, area, hd)),
-            blk((1, _TW, n_total, hd)),
-            blk((1, _TW, n_total, hd)),
+            blk(area, hd),
+            *[blk(g, hd) for g in gsizes],
+            *[blk(g, hd) for g in gsizes],
             # dbias block revisited across window tiles (accumulation)
             pl.BlockSpec((1, area, n_total), lambda h, i: (h, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(probs, gh, qh, kt, vh)
+    )(probs, gh, qh, *kts, *vhs)
+    dq_h = outs[0]
+    dks_h = outs[1 : 1 + G]
+    dvs_h = outs[1 + G : 1 + 2 * G]
+    dbias = outs[1 + 2 * G]
 
-    dq = (dq_h * scale).transpose(1, 2, 0, 3).reshape(n_w, area, c)[:n_w0]
-    dk = dk_h.transpose(1, 2, 0, 3).reshape(n_w, n_total, c)[:n_w0]
-    dv = dv_h.transpose(1, 2, 0, 3).reshape(n_w, n_total, c)[:n_w0]
-    gsizes = [int(k.shape[1]) for k in ks]
-    offs = np.cumsum([0] + gsizes)
-    dks = tuple(dk[:, offs[i]:offs[i + 1]].astype(ks[i].dtype) for i in range(len(ks)))
-    dvs = tuple(dv[:, offs[i]:offs[i + 1]].astype(vs[i].dtype) for i in range(len(vs)))
+    dq = (dq_h * scale).transpose(1, 2, 0, 3).reshape(n_w0, area, c)
+    dks = tuple(
+        d.transpose(1, 2, 0, 3).reshape(n_w0, gsizes[i], c).astype(ks[i].dtype)
+        for i, d in enumerate(dks_h)
+    )
+    dvs = tuple(
+        d.transpose(1, 2, 0, 3).reshape(n_w0, gsizes[i], c).astype(vs[i].dtype)
+        for i, d in enumerate(dvs_h)
+    )
     return dq.astype(q.dtype), dks, dvs, dbias
 
 
@@ -268,7 +319,8 @@ def _cfm_attention_xla(q, ks, vs, bias, mask, nh: int):
     Exact two-pass online softmax over the source groups — pass 1 computes
     the global max, pass 2 accumulates exp-weighted V sums and the
     denominator per group. Removes the (nW, nh, 49, N) score-concat tensor
-    (the largest decoder intermediate) from HBM entirely.
+    (the largest decoder intermediate) from HBM entirely. Identical math to
+    the Pallas kernel — its correctness/grad oracle.
     """
     n_w, area, c = q.shape
     hd = c // nh
@@ -321,7 +373,9 @@ _PROBS_DTYPE = None
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _cfm_attention_pallas(q, ks, vs, bias, mask, nh: int):
-    return _cfm_attention_pallas_impl(q, tuple(ks), tuple(vs), bias, mask, nh)
+    # primal (inference): packed K/V layout — see _cfm_attention_pallas_impl
+    return _cfm_attention_pallas_impl(q, tuple(ks), tuple(vs), bias, mask, nh,
+                                      grouped=False)
 
 
 def _cfm_fwd(q, ks, vs, bias, mask, nh: int):
@@ -336,7 +390,7 @@ def _cfm_bwd(nh: int, res, g):
     q, ks, vs, bias, mask, probs = res
     if probs is not None:
         dq, dks, dvs, dbias = _cfm_attention_bwd_pallas(
-            q, tuple(ks), tuple(vs), mask, probs, g, nh)
+            q, tuple(ks), tuple(vs), probs, g, nh)
         # bias enters pre-softmax exactly like scores; mask is a constant
         # geometry table (−100 pads): its cotangent is discarded upstream
         return dq, dks, dvs, dbias.astype(bias.dtype), jnp.zeros_like(mask)
@@ -360,7 +414,10 @@ def cfm_attention(q, ks, vs, bias, mask, nh: int, force: str | None = None,
     ``dwconv3x3`` (both paths are now kernel-served).
     """
     if force == "interpret":
-        return _cfm_attention_pallas_impl(q, tuple(ks), tuple(vs), bias, mask, nh, interpret=True)
+        # exercise the grouped layout (the packed path is the same kernel
+        # with a single pre-concatenated group)
+        return _cfm_attention_pallas_impl(q, tuple(ks), tuple(vs), bias, mask,
+                                          nh, interpret=True)
     if force == "pallas":
         return _cfm_attention_pallas(q, tuple(ks), tuple(vs), bias, mask, nh)
     if force == "xla":
