@@ -342,77 +342,46 @@ def _rolled_valid_subset(ws: int, expand: int) -> np.ndarray:
     return np.concatenate(out)
 
 
-def _kept_entries(kernel: int, valid_keep: int) -> list[tuple[int, int]]:
-    return [(di, dj) for di in range(kernel) for dj in range(kernel)
-            if not (valid_keep > 0 and (di < valid_keep or dj < valid_keep))]
+@functools.lru_cache(maxsize=64)
+def _unfold_onehot_np(map_h: int, map_w: int, kernel: int, stride: int,
+                      pad: int, valid_keep: int) -> np.ndarray:
+    """(nOut*n_entries, map_h*map_w) 0/1 selection matrix for the unfold.
+
+    Row o*n_entries+e has a single 1 at the entry's source position, or an
+    all-zero row where the entry falls in the zero padding (``nn.Unfold``
+    pads with zeros — an all-zero row reproduces that exactly; those
+    entries are additionally −100-masked in the attention)."""
+    pos, mask = _unfold_index(map_h, map_w, kernel, stride, pad, valid_keep)
+    n_out, n_ent = pos.shape
+    oh = np.zeros((n_out * n_ent, map_h * map_w), np.float32)
+    oh[np.arange(n_out * n_ent), pos.reshape(-1)] = (mask.reshape(-1) == 0.0)
+    return oh
 
 
-def _unfold_conv(x, kernel: int, stride: int, pad: int, valid_keep: int):
-    b, _, _, c = x.shape
-    patches = jax.lax.conv_general_dilated_patches(
-        x,
-        filter_shape=(kernel, kernel),
-        window_strides=(stride, stride),
-        padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )  # (B, oh, ow, C*k*k), feature index = c*k*k + di*k + dj
-    oh, ow = patches.shape[1:3]
-    patches = patches.reshape(b, oh * ow, c, kernel * kernel).transpose(0, 1, 3, 2)
-    if valid_keep > 0:
-        di = np.arange(kernel)
-        keep = (di[:, None] >= valid_keep) & (di[None, :] >= valid_keep)
-        patches = patches[:, :, jnp.asarray(np.nonzero(keep.reshape(-1))[0])]
-    return patches
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def _unfold_patches(x: jnp.ndarray, kernel: int, stride: int, pad: int,
                     valid_keep: int = 0) -> jnp.ndarray:
-    """nn.Unfold ≙ im2col: ``conv_general_dilated_patches`` forward (one
-    fused native patch-extraction) with a hand-written backward.
+    """nn.Unfold ≙ im2col as a one-hot MXU matmul over the flat pooled map.
 
     x (B, H, W, C) -> (B, nOut, n_entries, C) with entries in (di, dj)
     row-major order, matching ``_unfold_index`` and the reference's
-    ``nn.Unfold`` layout.
+    ``nn.Unfold`` layout (``cffm_transformer.py:433-446``).
 
-    Why the custom VJP: XLA transposes the patches op into a C·k²-channel
-    convolution that cost 15.5 ms/step (27%) on the CFFM-B1 train step. The
-    true transpose of im2col is k² interior-dilated pads summed together —
-    cheap elementwise work on these tiny pooled maps.
-    """
-    return _unfold_conv(x, kernel, stride, pad, valid_keep)
-
-
-def _unfold_patches_fwd(x, kernel, stride, pad, valid_keep):
-    # zero-size dtype token: residuals must be JAX types, not dtype objects
-    return (_unfold_conv(x, kernel, stride, pad, valid_keep),
-            (x.shape, jnp.zeros((0,), x.dtype)))
-
-
-def _unfold_patches_bwd(kernel, stride, pad, valid_keep, res, g):
-    (b, h, w, c), dtype_token = res
-    dtype = dtype_token.dtype
-    hp, wp = h + 2 * pad, w + 2 * pad
-    oh = (hp - kernel) // stride + 1
-    ow = (wp - kernel) // stride + 1
-    span = (oh - 1) * stride + 1
-    span_w = (ow - 1) * stride + 1
-    dxp = None
-    for e_idx, (di, dj) in enumerate(_kept_entries(kernel, valid_keep)):
-        ge = g[:, :, e_idx, :].reshape(b, oh, ow, c).astype(jnp.float32)
-        contrib = jax.lax.pad(
-            ge, jnp.zeros((), jnp.float32),
-            ((0, 0, 0),
-             (di, hp - di - span, stride - 1),
-             (dj, wp - dj - span_w, stride - 1),
-             (0, 0, 0)),
-        )
-        dxp = contrib if dxp is None else dxp + contrib
-    dx = dxp[:, pad : pad + h, pad : pad + w, :]
-    return (dx.astype(dtype),)
-
-
-_unfold_patches.defvjp(_unfold_patches_fwd, _unfold_patches_bwd)
+    Why a matmul: the pooled maps are tiny (≤27×27) while the unfolded
+    output duplicates entries ~k²/stride²-fold. A constant 0/1 matrix times
+    the flat map emits each output entry as an exact copy of its source
+    (each row has at most a single 1 — no summation, bit-exact gather) and
+    XLA lowers it as one clean dot. This replaced the round-2
+    ``conv_general_dilated_patches`` + custom pad-sum VJP: the patch conv
+    fusions were ~0.3 ms of the B=1 forward, and the dot's autodiff
+    transpose is itself a single dot (the conv's transpose was a
+    pathological C·k²-channel convolution)."""
+    b, h, w, c = x.shape
+    onehot = jnp.asarray(
+        _unfold_onehot_np(h, w, kernel, stride, pad, valid_keep), x.dtype)
+    out = jnp.einsum("mp,bpc->bmc", onehot, x.reshape(b, h * w, c))
+    n_out = ((h + 2 * pad - kernel) // stride + 1) * (
+        (w + 2 * pad - kernel) // stride + 1)
+    return out.reshape(b, n_out, -1, c)
 
 
 class _FcPool(nn.Module):
