@@ -73,6 +73,96 @@ def test_resize_window_flip(rng):
     np.testing.assert_array_equal(got, ref[10:42, 5:53][:, ::-1])
 
 
+def test_bgr2hsv_exhaustive():
+    """cv2-exact 8U BGR→HSV over ALL 2^24 inputs (fixed-point div tables)."""
+    v = np.arange(1 << 24, dtype=np.uint32)
+    img = np.stack([v & 255, (v >> 8) & 255, (v >> 16) & 255],
+                   -1).astype(np.uint8).reshape(4096, 4096, 3)
+    np.testing.assert_array_equal(native.cvt_hsv(img),
+                                  cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+
+
+@pytest.mark.parametrize("width", [256, 31, 53])
+def test_hsv2bgr_exhaustive(width):
+    """cv2-exact 8U HSV→BGR over the full (180, 256, 256) grid, in several
+    row widths: cv2 truncates in its 32-px SIMD blocks but cvRounds in the
+    scalar row tail, so width exercises the dispatch split (256 = all
+    vector, 31 = all scalar, 53 = 32+21 mixed like a real crop row)."""
+    h = np.repeat(np.arange(180, dtype=np.uint8), 256 * 256)
+    s = np.tile(np.repeat(np.arange(256, dtype=np.uint8), 256), 180)
+    v = np.tile(np.arange(256, dtype=np.uint8), 180 * 256)
+    hsv = np.stack([h, s, v], -1)
+    pad = (-len(hsv)) % width
+    grid = np.concatenate([hsv, hsv[:pad]]).reshape(-1, width, 3)
+    np.testing.assert_array_equal(native.cvt_hsv(grid, inverse=True),
+                                  cv2.cvtColor(grid, cv2.COLOR_HSV2BGR))
+
+
+def test_pmd_native_bitwise_vs_python(rng):
+    """Native fused PhotoMetricDistortion == the cv2/numpy pipeline, with
+    draw_pmd_params consuming the exact same RNG stream."""
+    from vss_cffm_tpu.data import transforms as T
+
+    for seed in range(60):
+        h, w = [(37, 53), (16, 32), (21, 95), (7, 31), (48, 480)][seed % 5]
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        r1 = np.random.RandomState(seed)
+        r2 = np.random.RandomState(seed)
+        want = T.photometric_distortion_clip([img.copy()], r1)[0]
+        got = native.pmd_apply(np.ascontiguousarray(img.copy()),
+                               T.draw_pmd_params(r2))
+        assert r1.randint(1 << 30) == r2.randint(1 << 30)  # same draws
+        np.testing.assert_array_equal(got, want)
+
+
+def test_label_window_bitwise_vs_cv2(rng):
+    """cv2-exact INTER_NEAREST window resize (+flip, +row bands)."""
+    for _ in range(25):
+        sh, sw = rng.randint(40, 900), rng.randint(40, 900)
+        seg = rng.randint(0, 125, (sh, sw)).astype(np.uint8)
+        f = rng.uniform(0.3, 2.5)
+        rh, rw = max(1, int(sh * f + 0.5)), max(1, int(sw * f + 0.5))
+        ref_full = cv2.resize(seg, (rw, rh), interpolation=cv2.INTER_NEAREST)
+        y1, x1 = rng.randint(0, rh), rng.randint(0, rw)
+        vh, vw = rng.randint(1, rh - y1 + 1), rng.randint(1, rw - x1 + 1)
+        flip = bool(rng.randint(2))
+        want = ref_full[y1:y1 + vh, x1:x1 + vw]
+        if flip:
+            want = want[:, ::-1]
+        got = native.label_window(seg, rh, rw, y1, x1, vh, vw, flip)
+        np.testing.assert_array_equal(got, want)
+        # band variant: only the touched source rows are supplied
+        lo, hi = native.label_window_rows(sh, rh, y1, vh)
+        got_band = native.label_window(seg[lo:hi + 1], rh, rw, y1, x1, vh,
+                                       vw, flip, src_row0=lo, sh=sh)
+        np.testing.assert_array_equal(got_band, want)
+
+
+def test_decode_label_band_vs_full(rng, tmp_path):
+    """Band-limited PNG label decode == full decode + LUT on those rows."""
+    import io
+
+    from PIL import Image
+
+    from vss_cffm_tpu.data.vspw import _LUT_REDUCE
+
+    for trial in range(8):
+        h, w = rng.randint(30, 400), rng.randint(30, 400)
+        seg = rng.randint(0, 125, (h, w)).astype(np.uint8)
+        img = Image.fromarray(seg, mode="L")
+        if trial % 2:
+            img = img.convert("P")
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        data = buf.getvalue()
+        assert native.png_dims(data) == (h, w)
+        r0 = rng.randint(0, h)
+        r1 = rng.randint(r0, h)
+        band = native.decode_label_band(data, _LUT_REDUCE, r0, r1)
+        assert band is not None
+        np.testing.assert_array_equal(band, _LUT_REDUCE[seg][r0:r1 + 1])
+
+
 def test_native_train_item_bitwise_vs_numpy_path(tmp_path, rng):
     """The fused-native get_train_item must be bit-identical to the numpy
     transform pipeline (same decoder, same RNG draw order, cv2-bitwise

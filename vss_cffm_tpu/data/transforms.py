@@ -26,9 +26,11 @@ __all__ = [
     "imrescale",
     "random_scale_clip",
     "sample_crop_box",
+    "sample_crop_box_windowed",
     "random_crop_clip",
     "random_flip_clip",
     "photometric_distortion_clip",
+    "draw_pmd_params",
     "normalize_clip",
     "pad_clip",
     "aligned_resize_clip",
@@ -73,18 +75,21 @@ def random_scale_clip(
     return imgs, segs
 
 
-def sample_crop_box(
-    seg_last: np.ndarray,
+def sample_crop_box_windowed(
+    h: int,
+    w: int,
+    window_fn,
     rng: np.random.RandomState,
     crop_size: tuple[int, int] = (480, 480),
     cat_max_ratio: float = 0.75,
     ignore_index: int = 255,
 ) -> tuple[int, int, int, int]:
-    """Crop-box draw of ``RandomCrop_clips`` (reference ``:1566-1579``): box
-    sampled on the **last** frame's gt with the 10-try category-balance
-    re-roll. Split out so the native fused pipeline can consume the same RNG
-    draws without materializing image crops."""
-    h, w = seg_last.shape[:2]
+    """Crop-box draw of ``RandomCrop_clips`` (reference ``:1566-1579``) on a
+    virtual (h, w) label plane: box sampled with the 10-try category-balance
+    re-roll, reading candidate crops through ``window_fn(y1, y2, x1, x2)``
+    (clamped bounds). Split out so the native fused pipeline can consume the
+    same RNG draws while extracting windows straight from the *unresized*
+    label (``native.label_window``) — the full resized plane never exists."""
     ch, cw = crop_size
 
     def sample_box():
@@ -107,11 +112,26 @@ def sample_crop_box(
     if cat_max_ratio < 1.0:
         for _ in range(10):
             y1, y2, x1, x2 = box
-            cnt = label_counts(seg_last[y1:y2, x1:x2])
+            cnt = label_counts(window_fn(y1, min(y2, h), x1, min(x2, w)))
             if len(cnt) > 1 and cnt.max() / cnt.sum() < cat_max_ratio:
                 break
             box = sample_box()
     return box
+
+
+def sample_crop_box(
+    seg_last: np.ndarray,
+    rng: np.random.RandomState,
+    crop_size: tuple[int, int] = (480, 480),
+    cat_max_ratio: float = 0.75,
+    ignore_index: int = 255,
+) -> tuple[int, int, int, int]:
+    """:func:`sample_crop_box_windowed` on a materialized label plane."""
+    h, w = seg_last.shape[:2]
+    return sample_crop_box_windowed(
+        h, w, lambda y1, y2, x1, x2: seg_last[y1:y2, x1:x2], rng, crop_size,
+        cat_max_ratio, ignore_index,
+    )
 
 
 def random_crop_clip(
@@ -190,6 +210,42 @@ def photometric_distortion_clip(
         return img
 
     return [one(im) for im in imgs]
+
+
+def draw_pmd_params(
+    rng: np.random.RandomState,
+    brightness_delta: int = 32,
+    contrast_range: tuple[float, float] = (0.5, 1.5),
+    saturation_range: tuple[float, float] = (0.5, 1.5),
+    hue_delta: int = 18,
+) -> np.ndarray:
+    """Draw one frame's photometric-distortion parameters — the exact RNG
+    stream of :func:`photometric_distortion_clip`'s per-frame closure, split
+    from the application so the native fused pipeline
+    (``native/dataloader.cpp:pmd_apply_window``) can run the pixel work.
+
+    Returns the 10-float block ``[bright?, beta, contrast_pre?, alpha1,
+    sat?, sat_alpha, hue?, hue_delta, contrast_post?, alpha2]`` (flags are
+    1.0/0.0; a flag set means the corresponding step — including the lossy
+    HSV round-trip for saturation/hue — is applied)."""
+    p = np.zeros(10, np.float32)
+    if rng.randint(2):
+        p[0] = 1.0
+        p[1] = rng.uniform(-brightness_delta, brightness_delta)
+    mode = rng.randint(2)
+    if mode == 1 and rng.randint(2):
+        p[2] = 1.0
+        p[3] = rng.uniform(*contrast_range)
+    if rng.randint(2):
+        p[4] = 1.0
+        p[5] = rng.uniform(*saturation_range)
+    if rng.randint(2):
+        p[6] = 1.0
+        p[7] = rng.randint(-hue_delta, hue_delta)
+    if mode == 0 and rng.randint(2):
+        p[8] = 1.0
+        p[9] = rng.uniform(*contrast_range)
+    return p
 
 
 def normalize_clip(

@@ -226,63 +226,94 @@ class VSPWVideoDataset:
         }
 
     def _train_item_native(self, sample, frames, rng, normalize: bool):
-        """Fused-native train item — bit-identical to the numpy path (both
-        decode with libjpeg; the window resize is cv2-bitwise; PMD runs the
-        same Python code on the same pixels) but the per-frame image work is
-        one C++ call: decode → bilinear resize *of the crop window only* →
-        flip (``native/dataloader.cpp:vss_train_clip``). The full resized
-        image (up to 2× (853, 480) ≈ 1.6 MPx/frame) is never materialized,
-        and the RNG draw order exactly mirrors the transform pipeline:
-        scale ratio → crop box (on the resized last label) → flip → PMD.
-        Returns None (caller falls back) on geometry surprises."""
+        """Fused-native train item — bit-identical to the numpy path (same
+        libjpeg decode; cv2-bitwise window resizes; cv2-exact C++ PMD incl.
+        the SIMD/tail cast split of cv2's HSV kernels) with all per-pixel
+        work in C++ and O(crop) instead of O(resized image):
+
+        - images: one threaded call (``native/dataloader.cpp:
+          vss_train_clip_v2``) doing JPEG band decode → bilinear resize of
+          the crop window only → flip → PhotoMetricDistortion while the
+          crop is hot in cache. The resized frame (up to 2× (853, 480) ≈
+          1.6 MPx) is never materialized.
+        - labels: the crop box is drawn by extracting candidate windows
+          straight from the *unresized* last label (cv2-exact nearest
+          windows); non-target labels are band-decoded — PNG rows below the
+          crop are never read, and no full-size nearest resize ever runs.
+
+        The RNG draw order exactly mirrors the transform pipeline: scale
+        ratio → crop box (on the resized-geometry last label) → flip →
+        per-frame PMD params. Returns None (caller falls back) on geometry
+        surprises — always *before* the first RNG draw, so the fallback
+        consumes an untouched stream."""
         video, idxs = sample.video, sample.frame_indices
-        bufs = []
+        bufs, seg_bufs = [], []
         for i in idxs:
             with open(self._img_path(video, frames[i]), "rb") as f:
                 bufs.append(f.read())
+            with open(self._seg_path(video, frames[i]), "rb") as f:
+                seg_bufs.append(f.read())
         try:
             sh, sw = native.jpeg_dims(bufs[0])
         except ValueError:
             return None
-        segs = [load_label(self._seg_path(video, frames[i]), self.reduce_zero)
-                for i in idxs]
-        if segs[0].shape[:2] != (sh, sw):
+        if any(native.png_dims(b) != (sh, sw) for b in seg_bufs):
             return None  # image/label geometry mismatch: use the slow path
+        lut = _LUT_REDUCE if self.reduce_zero else _LUT_IDENTITY
+        seg_last = native.decode_label(seg_bufs[-1], lut)
+        if seg_last is None:
+            seg_last = load_label(self._seg_path(video, frames[idxs[-1]]),
+                                  self.reduce_zero)
 
         # draw 1: scale ratio (``random_scale_clip``)
         ratio = rng.random_sample() * 1.5 + 0.5
         scale = (int(self.img_scale[0] * ratio), int(self.img_scale[1] * ratio))
         f = T._rescale_factor((sh, sw), scale)
         rw, rh = int(sw * f + 0.5), int(sh * f + 0.5)
-        segs_r = [T.imrescale(s, scale, nearest=True) for s in segs]
         # draws 2..: crop box on the resized last label (``sample_crop_box``)
-        y1, y2, x1, x2 = T.sample_crop_box(segs_r[-1], rng, self.crop_size)
+        # — candidate windows extracted from the unresized plane instead
+        y1, y2, x1, x2 = T.sample_crop_box_windowed(
+            rh, rw,
+            lambda a, b, c, d: native.label_window(seg_last, rh, rw, a, c,
+                                                   b - a, d - c),
+            rng, self.crop_size)
         # draw: flip (``random_flip_clip``)
         flip = bool(rng.rand() < 0.5)
+        # draws: per-frame photometric-distortion parameter blocks
+        pmd = np.stack([T.draw_pmd_params(rng) for _ in idxs])
 
         ch, cw = self.crop_size
-        imgs = native.train_clip(bufs, sh, sw, rh, rw, y1, x1, ch, cw, flip)
         vh, vw = min(ch, rh - y1), min(cw, rw - x1)
-        # PMD on the valid (pre-pad) region — per-frame re-rolls, then pad
-        views = T.photometric_distortion_clip(
-            [imgs[i, :vh, :vw] for i in range(len(idxs))], rng)
+        imgs = native.train_clip_v2(bufs, sh, sw, rh, rw, y1, x1, ch, cw,
+                                    flip, pmd)
         if normalize:
             out = np.zeros(imgs.shape, np.float32)
-            for i, v in enumerate(T.normalize_clip(views)):
-                out[i, :vh, :vw] = v
+            for i in range(len(idxs)):
+                out[i, :vh, :vw] = native.normalize_f32(
+                    imgs[i, :vh, :vw], T.IMG_MEAN, T.IMG_STD)
         else:
-            out = np.zeros_like(imgs)
-            for i, v in enumerate(views):
-                out[i, :vh, :vw] = v
+            out = imgs
 
-        segs_c = [s[y1:y2, x1:x2] for s in segs_r]
-        if flip:
-            segs_c = [s[:, ::-1] for s in segs_c]
-        segs_p = [np.pad(s, ((0, ch - s.shape[0]), (0, cw - s.shape[1])),
-                         constant_values=255) for s in segs_c]
+        segs_p = np.full((len(idxs), ch, cw), 255, np.uint8)
+        lo, hi = native.label_window_rows(sh, rh, y1, vh)
+        for i in range(len(idxs)):
+            if i == len(idxs) - 1:
+                win = native.label_window(seg_last, rh, rw, y1, x1, vh, vw,
+                                          flip)
+            else:
+                band = native.decode_label_band(seg_bufs[i], lut, lo, hi)
+                if band is not None:
+                    win = native.label_window(band, rh, rw, y1, x1, vh, vw,
+                                              flip, src_row0=lo, sh=sh)
+                else:  # odd PNG variant: full decode, window from the plane
+                    plane = load_label(self._seg_path(video, frames[idxs[i]]),
+                                       self.reduce_zero)
+                    win = native.label_window(plane, rh, rw, y1, x1, vh, vw,
+                                              flip)
+            segs_p[i, :vh, :vw] = win
         return {
             "imgs": out,
-            "labels": np.stack(segs_p).astype(np.int32),
+            "labels": segs_p.astype(np.int32),
             "video": video,
             "frame": sample.target_frame,
         }
