@@ -107,6 +107,45 @@ def test_block_parity(rng):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "k,s,hw", [(7, 4, (16, 16)), (3, 2, (16, 24)), (7, 4, (18, 22)), (3, 2, (15, 9))]
+)
+def test_im2col_embed_parity(rng, k, s, hw):
+    """_Im2ColConv (conv-free strided slices + matmul) ≡ the strided conv.
+
+    Same parameter tree, same math — checked against torch F.conv2d at the
+    backbone's two (kernel, stride) geometries, incl. sizes that exercise
+    the right/bottom block padding.
+    """
+    h, w = hw
+    x = rng.randn(2, h, w, 5).astype(np.float32)
+    mod = OverlapPatchEmbed(embed_dim=32, patch_size=k, stride=s, impl="im2col")
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    got = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
+
+    kk, b = conv_w(params, "proj")
+    xt = t(x).permute(0, 3, 1, 2)
+    out = F.conv2d(xt, kk, b, stride=s, padding=k // 2).permute(0, 2, 3, 1)
+    out = torch_ln(out, params, "norm", 1e-5)
+    assert got.shape == out.shape
+    np.testing.assert_allclose(got, out.numpy(), rtol=2e-5, atol=2e-5)
+
+
+def test_im2col_backbone_equivalence(rng):
+    """Full MiT forward: im2col embeds ≡ conv embeds (same params)."""
+    import dataclasses
+
+    cfg = MIT_VARIANTS["mit_b0"]
+    x = jnp.asarray(rng.randn(1, 32, 48, 3).astype(np.float32))
+    conv_mod = MiT(cfg)
+    params = conv_mod.init(jax.random.PRNGKey(0), x)["params"]
+    want = conv_mod.apply({"params": params}, x)
+    im2col_mod = MiT(dataclasses.replace(cfg, embed_impl="im2col"))
+    got = im2col_mod.apply({"params": params}, x)
+    for g, wnt in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(wnt), rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("variant", ["mit_b0", "mit_b1"])
 def test_mit_feature_pyramid_shapes(variant):
     cfg = MIT_VARIANTS[variant]
