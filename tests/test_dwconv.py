@@ -22,6 +22,31 @@ def test_pallas_interpret_matches_xla(rng, shape, gelu):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("gelu", [False, True])
+def test_shifts_cvjp_grad_parity(rng, gelu):
+    """Hand-written shifts backward ≡ autodiff of the conv formulation."""
+    import jax
+
+    x = jnp.asarray(rng.randn(2, 10, 12, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 1, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+
+    def loss(fn):
+        def f(x, k, b):
+            y = fn(x, k, b)
+            return jnp.sum(y * jnp.cos(y))  # non-trivial cotangent
+
+        return f
+
+    ref_f = loss(lambda x, k, b: dwconv3x3(x, k, b, gelu=gelu, force="xla"))
+    got_f = loss(lambda x, k, b: dwconv3x3(x, k, b, gelu=gelu, force="shifts-cvjp"))
+    np.testing.assert_allclose(float(got_f(x, k, b)), float(ref_f(x, k, b)), rtol=1e-5)
+    ref_g = jax.grad(ref_f, argnums=(0, 1, 2))(x, k, b)
+    got_g = jax.grad(got_f, argnums=(0, 1, 2))(x, k, b)
+    for gg, rg in zip(got_g, ref_g):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(rg), rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("force", ["xla", "shifts"])
 def test_xla_path_matches_torch(rng, force):
     x = rng.randn(2, 9, 11, 6).astype(np.float32)

@@ -152,6 +152,81 @@ def _dwconv3x3_shifts(x, kernel, bias, gelu: bool = False):
     return acc.astype(x.dtype)
 
 
+def _gelu_grad(z):
+    """d/dz gelu(z) = Φ(z) + z·φ(z) (exact-erf GELU)."""
+    zf = z.astype(jnp.float32)
+    phi = jnp.exp(-0.5 * zf * zf) * 0.3989422804014327  # 1/√(2π)
+    big_phi = 0.5 * (1.0 + jax.lax.erf(zf * 0.7071067811865476))
+    return big_phi + zf * phi
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _dwconv3x3_shifts_cvjp(x, kernel, bias, gelu: bool = False):
+    """'shifts' dwconv with a HAND-WRITTEN backward.
+
+    Autodiff through the 9-tap shift graph compiles pathologically slowly
+    (minutes — round-2 finding that kept training on the conv emitter);
+    the hand-written VJP below is the same three clean 9-tap passes the
+    forward uses (dx = flipped-kernel correlation of the cotangent,
+    dk/dbias = 9+1 multiply-reduces), so both compile and run like the
+    forward. Matches the conv path's precision plan: bf16 HBM residuals,
+    f32 tap accumulation.
+    """
+    return _dwconv3x3_shifts(x, kernel, bias, gelu)
+
+
+def _shifts_cvjp_fwd(x, kernel, bias, gelu: bool):
+    b, h, w, c = x.shape
+    k = kernel.reshape(3, 3, c).astype(jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for di in range(3):
+        for dj in range(3):
+            term = xp[:, di : di + h, dj : dj + w, :].astype(jnp.float32) * k[di, dj]
+            acc = term if acc is None else acc + term
+    z = acc + bias.astype(jnp.float32)
+    y = jax.nn.gelu(z, approximate=False) if gelu else z
+    # pre-activation residual stored in x.dtype (the conv path's autodiff
+    # residual is likewise the bf16 conv output)
+    return y.astype(x.dtype), (x, kernel, bias, z.astype(x.dtype) if gelu else None)
+
+
+def _shifts_cvjp_bwd(gelu: bool, res, g):
+    x, kernel, bias, z = res
+    b, h, w, c = x.shape
+    k = kernel.reshape(3, 3, c).astype(jnp.float32)
+    gz_f = g.astype(jnp.float32)
+    if gelu:
+        gz_f = gz_f * _gelu_grad(z)
+    gz = gz_f.astype(x.dtype)  # one bf16 materialization; read 9× below
+    # dx: correlation of the cotangent with the 180°-flipped kernel
+    gp = jnp.pad(gz, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dx = None
+    for di in range(3):
+        for dj in range(3):
+            term = (
+                gp[:, 2 - di : 2 - di + h, 2 - dj : 2 - dj + w, :].astype(jnp.float32)
+                * k[di, dj]
+            )
+            dx = term if dx is None else dx + term
+    # dk[di,dj,c] = Σ_{b,h,w} x_pad[di+y, dj+x, c] · gz[y, x, c]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = [
+        jnp.sum(
+            xp[:, di : di + h, dj : dj + w, :].astype(jnp.float32) * gz_f,
+            axis=(0, 1, 2),
+        )
+        for di in range(3)
+        for dj in range(3)
+    ]
+    dk = jnp.stack(taps).reshape(kernel.shape).astype(kernel.dtype)
+    dbias = jnp.sum(gz_f, axis=(0, 1, 2)).astype(bias.dtype)
+    return dx.astype(x.dtype), dk, dbias
+
+
+_dwconv3x3_shifts_cvjp.defvjp(_shifts_cvjp_fwd, _shifts_cvjp_bwd)
+
+
 def _dwconv3x3_xla(x, kernel, bias, gelu: bool = False):
     c = x.shape[-1]
     out = jax.lax.conv_general_dilated(
@@ -186,6 +261,8 @@ def dwconv3x3(x, kernel, bias, gelu: bool = False, force: str | None = None,
         return _dwconv3x3_xla(x, kernel, bias, gelu)
     if force == "shifts":
         return _dwconv3x3_shifts(x, kernel, bias, gelu)
+    if force == "shifts-cvjp":
+        return _dwconv3x3_shifts_cvjp(x, kernel, bias, gelu)
     if force == "pallas":
         return _dwconv3x3_pallas(x, kernel, bias, gelu)
     platform = jax.devices()[0].platform
