@@ -117,6 +117,19 @@ def kernel_parity(rng) -> dict:
         gotd = np.asarray(dwconv3x3(x, k, b, gelu=True, force=impl), np.float32)
         out[f"dwconv_{impl}_max_err"] = float(np.abs(gotd - ref).max())
         assert out[f"dwconv_{impl}_max_err"] < 0.15, out  # bf16 9-tap tolerance
+
+    # hand-written shifts backward vs conv-emitter autodiff, on hardware
+    def dw_loss(force):
+        return lambda x, k, b: jnp.sum(
+            dwconv3x3(x, k, b, gelu=True, force=force).astype(jnp.float32) ** 2)
+
+    gc = jax.jit(jax.grad(dw_loss("xla"), argnums=(0, 1, 2)))(x, k, b)
+    gs = jax.jit(jax.grad(dw_loss("shifts-cvjp"), argnums=(0, 1, 2)))(x, k, b)
+    rels = [float(np.abs(np.asarray(a, np.float32) - np.asarray(bb, np.float32)).max()
+                  / (np.abs(np.asarray(bb, np.float32)).max() + 1e-9))
+            for a, bb in zip(gc, gs)]
+    out["dwconv_cvjp_grad_max_rel_err"] = max(rels)
+    assert out["dwconv_cvjp_grad_max_rel_err"] < 2e-2, out  # bf16 residual noise
     return out
 
 
