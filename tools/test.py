@@ -87,10 +87,26 @@ def main():
                     help="print the set of jit shapes this eval would compile "
                          "(from image headers; no device work) and exit")
     ap.add_argument("--options", nargs="*", default=[])
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: call jax.distributed.initialize() "
+                         "(auto-detected on TPU pods; explicit via the flags below)")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port (tools/dist_test.sh sets it)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
+
+    if args.distributed:
+        jax.distributed.initialize(coordinator_address=args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
 
     cfg = apply_overrides(load_config(args.config), args.options)
     logger = get_logger()
+    if jax.process_index() != 0:  # rank-0-only INFO logging
+        import logging
+
+        logger.setLevel(logging.WARNING)
     model = build_segmentor(cfg.model, dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32)
     finetune = cfg.model.head.mode == "finetune"
     store = ClusterStore(cfg.cluster_dir) if finetune else None

@@ -16,6 +16,7 @@ Usage::
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 import sys
 import time
@@ -64,12 +65,19 @@ def main():
     ap.add_argument("--profile-dir",
                     help="capture a jax.profiler trace of iterations 10-13 here")
     ap.add_argument("--distributed", action="store_true",
-                    help="multi-host: call jax.distributed.initialize() (env-driven)")
+                    help="multi-host: call jax.distributed.initialize() "
+                         "(auto-detected on TPU pods; explicit via the flags below)")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port (tools/dist_train.sh sets it)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--options", nargs="*", default=[])
     args = ap.parse_args()
 
     if args.distributed:
-        jax.distributed.initialize()
+        jax.distributed.initialize(coordinator_address=args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
 
     cfg = apply_overrides(load_config(args.config), args.options)
     work_dir = args.work_dir or cfg.work_dir
@@ -91,6 +99,8 @@ def main():
     finetune = cfg.model.head.mode == "finetune"
 
     proc_id, n_procs = jax.process_index(), jax.process_count()
+    if proc_id != 0:  # rank-0-only INFO logging (mmcv get_root_logger semantics)
+        logger.setLevel(logging.WARNING)
     dataset = VSPWVideoDataset(
         cfg.data.data_root, "train", dilation=cfg.data.dilation,
         crop_size=cfg.data.crop_size, img_scale=cfg.data.img_scale,

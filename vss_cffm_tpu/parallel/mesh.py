@@ -57,19 +57,38 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def _global_put(x, sharding: NamedSharding):
+    """device_put that also works under multi-process (multi-host) JAX.
+
+    Single process: plain ``device_put``. Multi-process: each process holds
+    only its *local* slice of the batch (``TrainLoader`` shards the video
+    list per host, the way the reference's ``DistributedSampler`` does —
+    ``datasets/builder.py:119-121``), so the global array is assembled from
+    the per-process shards without any cross-host data movement.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     """Device-put a host batch with the leading axis sharded over the mesh."""
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: _global_put(x, sharding), batch)
 
 
 def shard_clip_batch(batch: Any, mesh: Mesh) -> Any:
     """Shard (B, T, ...) arrays over a (data, frames) mesh."""
     sharding = NamedSharding(mesh, P("data", "frames"))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: _global_put(x, sharding), batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Fully replicate a pytree (params / optimizer state) over the mesh."""
+    """Fully replicate a pytree (params / optimizer state) over the mesh.
+
+    Every process computes identical values (same seed), so under
+    multi-process JAX the replicated global array is assembled from each
+    process's full copy.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(lambda x: _global_put(x, sharding), tree)

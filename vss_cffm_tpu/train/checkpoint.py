@@ -16,6 +16,7 @@ import json
 import os
 from typing import Any
 
+import jax
 import orbax.checkpoint as ocp
 
 from .state import TrainState
@@ -44,8 +45,10 @@ class CheckpointManager:
 
     def save(self, state: TrainState, metadata: dict | None = None):
         step = int(state.step)
+        # every process participates in the orbax save (it coordinates
+        # internally); the metadata side-file is written by rank 0 only
         self._mgr.save(step, args=ocp.args.StandardSave(state))
-        if metadata is not None:
+        if metadata is not None and jax.process_index() == 0:
             with open(os.path.join(self.directory, f"metadata_{step}.json"), "w") as f:
                 json.dump(_config_to_jsonable(metadata), f)
         self._mgr.wait_until_finished()
