@@ -146,6 +146,24 @@ def test_im2col_backbone_equivalence(rng):
         np.testing.assert_allclose(np.asarray(g), np.asarray(wnt), rtol=2e-5, atol=2e-5)
 
 
+def test_im2col_embed_grad_parity(rng):
+    """Autodiff through _Im2ColConv ≡ autodiff through the strided conv."""
+    import jax
+
+    x = jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32))
+    conv = OverlapPatchEmbed(embed_dim=32, patch_size=7, stride=4)
+    im2col = OverlapPatchEmbed(embed_dim=32, patch_size=7, stride=4, impl="im2col")
+    params = conv.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(mod):
+        return lambda p, x: jnp.sum(mod.apply({"params": p}, x) ** 2)
+
+    g_ref = jax.grad(loss(conv), argnums=(0, 1))(params, x)
+    g_got = jax.grad(loss(im2col), argnums=(0, 1))(params, x)
+    for gg, gr in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gr), rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("variant", ["mit_b0", "mit_b1"])
 def test_mit_feature_pyramid_shapes(variant):
     cfg = MIT_VARIANTS[variant]
