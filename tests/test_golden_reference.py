@@ -22,17 +22,18 @@ from vss_cffm_tpu.utils.torch_convert import _cffm_block, convert_backbone
 from ref_modules import ref_cffm_transformer, ref_mix_transformer, state_dict_numpy
 
 
-@pytest.mark.parametrize("hw", [(14, 14), (9, 11)])
-def test_cffm_decoder_matches_reference_module(rng, hw):
-    """Full BasicLayer3d3 (depth 2) vs our CFFMDecoder, reference weights.
+@pytest.mark.parametrize("hw,depth", [((14, 14), 2), ((9, 11), 2), ((14, 14), 4)])
+def test_cffm_decoder_matches_reference_module(rng, hw, depth):
+    """Full BasicLayer3d3 vs our CFFMDecoder, reference weights.
 
     Covers: rolled K/V validity selection, fc pooling, unfold entry order,
     all four relative-bias tables, −100.0 padding masks, window padding for
     non-multiple-of-7 H/W, last-frame-only residual (reference
-    cffm_transformer.py:364-606, 629-856, 859-935).
+    cffm_transformer.py:364-606, 629-856, 859-935). depth=2 is the B1/B2
+    geometry, depth=4 the B5 one (block-chain state threading).
     """
     ref = ref_cffm_transformer()
-    dim, heads, depth = 64, 2, 2
+    dim, heads = 64, 2
     layer = ref.BasicLayer3d3(
         dim=dim, depth=depth, num_heads=heads, window_size=7, expand_size=3,
         mlp_ratio=4.0, qkv_bias=True, qk_scale=None, drop=0.0, attn_drop=0.0,
