@@ -56,23 +56,27 @@ def test_cffm_decoder_matches_reference_module(rng, hw, depth):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-def test_mit_b0_matches_reference_module(rng):
-    """Full mit_b0 forward_features vs our MiT, reference weights.
+@pytest.mark.parametrize("variant", ["mit_b0", "mit_b2"])
+def test_mit_backbone_matches_reference_module(rng, variant):
+    """Full backbone forward_features vs our MiT, reference weights.
 
     Covers all 4 stages: overlap patch embeds, SRA attention (sr 8/4/2/1),
     MixFFN depthwise conv, per-stage LayerNorm with eps=1e-6
-    (reference mix_transformer.py:313-349, 373-381).
+    (reference mix_transformer.py:313-349, 373-424). mit_b0 = dims
+    (32,64,160,256); mit_b2 = the deeper (3,4,6,3) block schedule shipped by
+    the B2 configs.
     """
     ref = ref_mix_transformer()
-    net = ref.mit_b0()
+    net = getattr(ref, variant)()
     net.eval()
-    params = convert_backbone(state_dict_numpy(net), (2, 2, 2, 2))
+    depths = MIT_VARIANTS[variant].depths
+    params = convert_backbone(state_dict_numpy(net), tuple(depths))
 
     x = (rng.randn(1, 64, 96, 3) * 0.5).astype(np.float32)
     with torch.no_grad():
         want = net(torch.from_numpy(x).permute(0, 3, 1, 2))  # list of NCHW
 
-    got = MiT(MIT_VARIANTS["mit_b0"]).apply({"params": params}, jnp.asarray(x))
+    got = MiT(MIT_VARIANTS[variant]).apply({"params": params}, jnp.asarray(x))
     assert len(got) == len(want) == 4
     for i, (g, wt) in enumerate(zip(got, want)):
         np.testing.assert_allclose(
