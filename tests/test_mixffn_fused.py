@@ -35,6 +35,46 @@ def test_fused_matches_xla(rng, shape, ch):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("shape,ch", [
+    ((2, 12, 12, 64), 256),
+    ((1, 9, 11, 32), 128),
+])
+def test_block_ffn_matches_xla(rng, shape, ch):
+    """LN + FFN + residual kernel (interpret) vs the XLA composition."""
+    from vss_cffm_tpu.ops.mixffn import block_ffn_fused, block_ffn_xla
+
+    c = shape[-1]
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    gamma = jnp.asarray(1.0 + 0.1 * rng.randn(c).astype(np.float32))
+    beta = jnp.asarray(0.1 * rng.randn(c).astype(np.float32))
+    params = _params(rng, c, ch)
+    got = block_ffn_fused(x, gamma, beta, *params, eps=1e-6, interpret=True)
+    want = block_ffn_xla(x, gamma, beta, *params, eps=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_block_fused_matches_block_module(rng):
+    """MiTBlock with dwconv_impl='fused-interpret' ≡ the default block on
+    the same params — proves the LN2/MixFFN/residual fusion is invisible to
+    checkpoints and numerics (f32)."""
+    from vss_cffm_tpu.models.mit import MiTBlock
+
+    x = jnp.asarray(rng.randn(2, 10, 12, 32).astype(np.float32))
+    kw = dict(dim=32, num_heads=2, sr_ratio=2, mlp_ratio=4, qkv_bias=True,
+              drop=0.0, attn_drop=0.0, drop_path_rate=0.0, norm_eps=1e-6)
+    ref_mod = MiTBlock(**kw)
+    variables = ref_mod.init(jax.random.PRNGKey(0), x)
+    want = ref_mod.apply(variables, x, True)
+    fused_mod = MiTBlock(dwconv_impl="fused-interpret", **kw)
+    # same param tree in both directions
+    v2 = fused_mod.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.map(lambda a: a.shape, v2) == jax.tree.map(lambda a: a.shape, variables)
+    got = fused_mod.apply(variables, x, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
 def test_fused_matches_module_composition(rng):
     """The kernel must reproduce the module path (Dense → dwconv+GELU →
     Dense) — the thing golden tests pin to the reference."""

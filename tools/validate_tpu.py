@@ -106,6 +106,16 @@ def kernel_parity(rng) -> dict:
     out["mixffn_kernel_max_err"] = float(np.abs(gotm - wantm).max())
     assert out["mixffn_kernel_max_err"] < 0.05, out  # bf16 matmul tolerance
 
+    # block-FFN kernel (LN2 + FFN + residual in one pass)
+    from vss_cffm_tpu.ops.mixffn import block_ffn_fused, block_ffn_xla
+
+    gm = jnp.asarray(1.0 + 0.1 * rng.randn(128).astype(np.float32))
+    bt = jnp.asarray(0.1 * rng.randn(128).astype(np.float32))
+    gotb = np.asarray(block_ffn_fused(xm, gm, bt, w1, b1, kdw, bdw, w2, b2), np.float32)
+    wantb = np.asarray(block_ffn_xla(xm, gm, bt, w1, b1, kdw, bdw, w2, b2), np.float32)
+    out["block_ffn_kernel_max_err"] = float(np.abs(gotb - wantb).max())
+    assert out["block_ffn_kernel_max_err"] < 0.05, out
+
     # dwconv formulations
     from vss_cffm_tpu.ops.dwconv import dwconv3x3
 

@@ -290,6 +290,20 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _LNParams(nn.Module):
+    """Parameter holder matching ``nn.LayerNorm``'s tree (scale/bias) — lets
+    MiTBlock feed the norm into the fused block-FFN kernel while checkpoints
+    stay interchangeable with the module composition."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
 class _DWConvParams(nn.Module):
     """Parameter holder matching ``DWConv3x3``'s tree (kernel (3,3,1,C) + bias)."""
 
@@ -320,10 +334,23 @@ class MixFFN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 residual_ln: tuple | None = None) -> jnp.ndarray:
         k1, b1 = _DenseParams(x.shape[-1], self.hidden_dim, name="fc1")()
         kdw, bdw = _DWConvParams(self.hidden_dim, name="dwconv")()
         k2, b2 = _DenseParams(self.hidden_dim, self.dim, name="fc2")()
+
+        if residual_ln is not None:
+            # x is the PRE-norm residual stream; compute x + FFN(LN(x)) as one
+            # Pallas kernel (LN + fc1 + dwconv + GELU + fc2 + residual with
+            # the hidden map VMEM-resident). Only reachable from MiTBlock's
+            # fused inference path.
+            from ..ops.mixffn import block_ffn_fused
+
+            gamma, beta, eps = residual_ln
+            return block_ffn_fused(
+                x.astype(self.dtype), gamma, beta, k1, b1, kdw, bdw, k2, b2,
+                eps=eps, interpret=self.dwconv_impl == "fused-interpret")
 
         impl = self.dwconv_impl
         # The fused kernel is opt-in, NOT the auto default: in isolation it
@@ -389,9 +416,23 @@ class MiTBlock(nn.Module):
         if not deterministic and self.drop_path_rate > 0.0:
             h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("droppath"))
         x = x + h
+        mlp = MixFFN(self.dim, int(self.dim * self.mlp_ratio), self.drop,
+                     self.dwconv_impl, self.dtype, name="mlp")
+        use_fused = (
+            self.dwconv_impl in ("fused", "fused-interpret")
+            and deterministic and self.drop == 0.0
+            and (self.dwconv_impl == "fused-interpret"
+                 or jax.devices()[0].platform in ("tpu", "axon"))
+        )
+        if use_fused:
+            # LN2 + FFN + residual as ONE Pallas kernel; the norm2 param
+            # holder keeps nn.LayerNorm's exact tree (scale/bias) so
+            # checkpoints are interchangeable with the unfused path
+            scale2 = _LNParams(self.dim, name="norm2")()
+            return mlp(x, deterministic,
+                       residual_ln=(scale2[0], scale2[1], self.norm_eps))
         h = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
-        h = MixFFN(self.dim, int(self.dim * self.mlp_ratio), self.drop,
-                   self.dwconv_impl, self.dtype, name="mlp")(h, deterministic)
+        h = mlp(h, deterministic)
         if not deterministic and self.drop_path_rate > 0.0:
             h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("droppath"))
         return x + h

@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dwconv import _gelu_exact
 
-__all__ = ["mixffn_fused", "mixffn_xla"]
+__all__ = ["mixffn_fused", "mixffn_xla", "block_ffn_fused", "block_ffn_xla"]
 
 
 def _pick_th(h: int, wp: int, ch: int, budget_bytes: int = 4 << 20) -> int:
@@ -99,6 +99,111 @@ def _kernel(x_ref, w1_ref, b1_ref, wk_ref, bdw_ref, w2_ref, b2_ref, o_ref,
         preferred_element_type=jnp.float32,
     ) + b2  # (th, wp, C)
     o_ref[0] = out[:, :w].astype(o_ref.dtype)
+
+
+def _kernel_ln(x_ref, g_ref, be_ref, w1_ref, b1_ref, wk_ref, bdw_ref, w2_ref,
+               b2_ref, o_ref, *, th: int, h: int, w: int, eps: float):
+    """``out = x + FFN(LN(x))`` per (batch, row tile) — the whole second half
+    of a MiT block in one VMEM-resident pass. Same structure as ``_kernel``
+    with the pre-FFN LayerNorm computed in-register (f32 stats over C) and
+    the residual added before the write, so the LN'd map and the FFN output
+    never touch HBM."""
+    t = pl.program_id(1)
+    wp = x_ref.shape[2]
+    gamma = g_ref[0]        # (C,) f32
+    beta = be_ref[0]        # (C,) f32
+    w1 = w1_ref[:]
+    b1 = b1_ref[0]
+    wk = wk_ref[:]
+    bdw = bdw_ref[0]
+    w2 = w2_ref[:]
+    b2 = b2_ref[0]
+
+    x = x_ref[0, pl.ds(t * th, th + 2)]  # (th+2, wp, C) rows overlap ±1
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    ln = ((xf - mu) * jax.lax.rsqrt(var + eps) * gamma + beta).astype(w1.dtype)
+
+    hid = jax.lax.dot_general(
+        ln, w1, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1  # (th+2, wp, Ch)
+    row_g = t * th + jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
+    valid = (row_g >= 1) & (row_g < h + 1) & (col >= 1) & (col < w + 1)
+    hid = jnp.where(valid, hid, 0.0)
+
+    acc = jnp.zeros((th, wp, hid.shape[-1]), jnp.float32)
+    for dj in range(3):
+        shifted = hid if dj == 0 else pltpu.roll(hid, wp - dj, 1)
+        for di in range(3):
+            acc = acc + shifted[di : di + th] * wk[di, dj]
+    acc = _gelu_exact(acc + bdw).astype(w2.dtype)
+    out = jax.lax.dot_general(
+        acc, w2, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2  # (th, wp, C)
+    # residual: x slab col c ↔ real col c−1; align with a sublane roll
+    res = pltpu.roll(xf, wp - 1, 1)[1 : th + 1]  # (th, wp, C), col j = real j
+    o_ref[0] = (out + res)[:, :w].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def block_ffn_fused(x, gamma, beta, w1, b1, kdw, bdw, w2, b2,
+                    eps: float = 1e-6, interpret: bool = False):
+    """x (B, H, W, C) → x + (GELU(dwconv3x3(LN(x) @ w1 + b1) + bdw) @ w2 + b2).
+
+    The fused form of a MiT block's second half (LN2 + MixFFN + residual,
+    reference ``mix_transformer.py:120-157``): one HBM read of x, one write
+    of the block output. LN statistics are f32 in-register (the unfused bf16
+    path rounds the normalized map — strictly less accurate)."""
+    b, h, w, c = x.shape
+    ch = w1.shape[1]
+    wp = -(-(w + 2) // 8) * 8
+    th = _pick_th(h, wp, ch)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    dt = x.dtype
+    return pl.pallas_call(
+        functools.partial(_kernel_ln, th=th, h=h, w=w, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), dt),
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec((1, h + 2, wp, c), lambda i, t: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, ch), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, ch), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, c), lambda i, t: (i, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        xp,
+        gamma.astype(jnp.float32).reshape(1, c),
+        beta.astype(jnp.float32).reshape(1, c),
+        w1.astype(dt),
+        b1.astype(jnp.float32).reshape(1, ch),
+        kdw.reshape(3, 3, ch).astype(jnp.float32),
+        bdw.astype(jnp.float32).reshape(1, ch),
+        w2.astype(dt),
+        b2.astype(jnp.float32).reshape(1, c),
+    )
+
+
+def block_ffn_xla(x, gamma, beta, w1, b1, kdw, bdw, w2, b2, eps: float = 1e-6):
+    """Identical-math XLA composition of ``block_ffn_fused`` (oracle)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    ln = ((xf - mu) * jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32)
+          + beta.astype(jnp.float32)).astype(x.dtype)
+    return (xf + mixffn_xla(ln, w1, b1, kdw, bdw, w2, b2).astype(jnp.float32)).astype(x.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
