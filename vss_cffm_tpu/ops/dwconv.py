@@ -245,15 +245,20 @@ def _dwconv3x3_xla(x, kernel, bias, gelu: bool = False):
 
 def dwconv3x3(x, kernel, bias, gelu: bool = False, force: str | None = None,
               train: bool = False):
-    """force: None (auto) | 'pallas' | 'xla' | 'shifts' | 'interpret'.
+    """force: None (auto) | 'pallas' | 'xla' | 'shifts' | 'shifts-cvjp' | 'interpret'.
 
     Auto policy (measured on v5e at CFFM-B1 geometry): inference on TPU uses
     the 'shifts' formulation — one XLA loop fusion, ~1.8× faster than the
     conv emitter in-model (which picks hostile layouts and splits off the
     GELU) and faster end-to-end than the Pallas kernel (whose pallas_call
-    boundaries force layout copies). Training uses the plain conv: the
-    'shifts' fwd+bwd graph compiles pathologically slowly (minutes) for a
-    ~2% step-time win, and the Pallas kernel has no VJP.
+    boundaries force layout copies). Training on TPU uses 'shifts-cvjp':
+    the same three clean 9-tap passes with a hand-written VJP — measured
+    174 ms for the B=8 480² train step where the conv emitter's depthwise
+    backward now lowers pathologically (8.6 s/step, reproduced twice; it
+    had measured 163 ms under an earlier toolchain, so the emitter path
+    is environment-sensitive in a way the explicit formulation is not).
+    Off-TPU keeps the plain conv (CPU conv backward is fine and the 9-tap
+    unrolled graph is slower to compile there).
     """
     if force == "interpret":
         return _dwconv3x3_pallas(x, kernel, bias, gelu, interpret=True)
@@ -266,6 +271,8 @@ def dwconv3x3(x, kernel, bias, gelu: bool = False, force: str | None = None,
     if force == "pallas":
         return _dwconv3x3_pallas(x, kernel, bias, gelu)
     platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon") and not train:
+    if platform in ("tpu", "axon"):
+        if train:
+            return _dwconv3x3_shifts_cvjp(x, kernel, bias, gelu)
         return _dwconv3x3_shifts(x, kernel, bias, gelu)
     return _dwconv3x3_xla(x, kernel, bias, gelu)
