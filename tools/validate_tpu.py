@@ -116,6 +116,39 @@ def kernel_parity(rng) -> dict:
     out["block_ffn_kernel_max_err"] = float(np.abs(gotb - wantb).max())
     assert out["block_ffn_kernel_max_err"] < 0.05, out
 
+    # whole-block megakernel (LN1+SRA attn+proj+res+LN2+FFN+res), single- and
+    # multi-head, at the real stage-1/2 480² geometries
+    from vss_cffm_tpu.ops.stage_block import mit_block_fused, mit_block_xla
+
+    for tag, (hh, ww, cc, chh, ss, nheads) in {
+        "stage1": (120, 120, 64, 256, 225, 1),
+        "stage2": (60, 60, 128, 512, 225, 2),
+    }.items():
+        xb = jnp.asarray(rng.randn(2, hh, ww, cc).astype(np.float32)).astype(jnp.bfloat16)
+        kb = jnp.asarray(rng.randn(2, ss, cc).astype(np.float32) * 0.2).astype(jnp.bfloat16)
+        vb = jnp.asarray(rng.randn(2, ss, cc).astype(np.float32) * 0.2).astype(jnp.bfloat16)
+        pb = [
+            jnp.asarray(1.0 + 0.1 * rng.randn(cc).astype(np.float32)),
+            jnp.asarray(rng.randn(cc).astype(np.float32) * 0.05),
+            jnp.asarray(rng.randn(cc, cc).astype(np.float32) * 0.05),
+            jnp.asarray(rng.randn(cc).astype(np.float32) * 0.05),
+            kb, vb,
+            jnp.asarray(rng.randn(cc, cc).astype(np.float32) * 0.05),
+            jnp.asarray(rng.randn(cc).astype(np.float32) * 0.05),
+            jnp.asarray(1.0 + 0.1 * rng.randn(cc).astype(np.float32)),
+            jnp.asarray(rng.randn(cc).astype(np.float32) * 0.05),
+            jnp.asarray(rng.randn(cc, chh).astype(np.float32) * 0.05),
+            jnp.asarray(rng.randn(chh).astype(np.float32) * 0.05),
+            jnp.asarray(rng.randn(3, 3, 1, chh).astype(np.float32) * 0.2),
+            jnp.asarray(rng.randn(chh).astype(np.float32) * 0.05),
+            jnp.asarray(rng.randn(chh, cc).astype(np.float32) * 0.05),
+            jnp.asarray(rng.randn(cc).astype(np.float32) * 0.05),
+        ]
+        gots = np.asarray(mit_block_fused(xb, *pb, num_heads=nheads), np.float32)
+        wants = np.asarray(mit_block_xla(xb, *pb, num_heads=nheads), np.float32)
+        out[f"mit_block_{tag}_max_err"] = float(np.abs(gots - wants).max())
+        assert out[f"mit_block_{tag}_max_err"] < 0.05, out  # bf16 tolerance
+
     # dwconv formulations
     from vss_cffm_tpu.ops.dwconv import dwconv3x3
 

@@ -84,8 +84,15 @@ class MiTConfig:
     dwconv_impl: str | None = None
     # patch-embed implementation: None = strided nn.Conv; "im2col" = strided
     # slices + dense (identical params/math; makes the backbone conv-free so
-    # XLA keeps default layouts around Pallas calls — see MixFFN)
-    embed_impl: str | None = None
+    # XLA keeps default layouts around Pallas calls — see MixFFN). A 4-tuple
+    # selects per stage (e.g. ("im2col", None, None, None) keeps only the
+    # stage-1 embed conv-free — the producer of the fused-block pallas_call).
+    embed_impl: str | tuple | None = None
+    # whole-block fusion: "fused" = single-head stages run LN1+SRA-attn+proj
+    # +residual+LN2+MixFFN+residual as ONE Pallas kernel at inference
+    # (ops/stage_block.py); K/V stay XLA-side. Multi-head stages keep the
+    # composed path. "fused-interpret" for CPU tests.
+    block_impl: str | None = None
 
 
 # Reference variant table (``mix_transformer.py:373-424``).
@@ -226,10 +233,29 @@ class SRAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 kv_only: bool = False):
         b, h, w, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
+
+        if kv_only:
+            # Fused-block path (single head): compute only the spatial-reduced
+            # K/V here (cheap, S ≈ HW/sr² tokens) and hand the q/proj params to
+            # the megakernel. _DenseParams shares nn.Dense's exact param tree,
+            # so checkpoints are interchangeable with the composed path.
+            kv_in = x
+            if self.sr_ratio > 1:
+                kv_in = _NonOverlapConv(self.dim, self.sr_ratio, self.dtype, name="sr")(x)
+                kv_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(kv_in)
+            n_kv = kv_in.shape[1] * kv_in.shape[2]
+            kv = nn.Dense(2 * self.dim, use_bias=self.qkv_bias,
+                          kernel_init=_dense_init, dtype=self.dtype, name="kv")(kv_in)
+            kv = kv.reshape(b, n_kv, 2, self.dim)
+            k, v = kv[:, :, 0], kv[:, :, 1]
+            wq, bq = _DenseParams(c, self.dim, use_bias=self.qkv_bias, name="q")()
+            wp, bp = _DenseParams(self.dim, self.dim, name="proj")()
+            return k, v, wq, bq, wp, bp
 
         q = nn.Dense(self.dim, use_bias=self.qkv_bias, kernel_init=_dense_init, dtype=self.dtype, name="q")(x)
         q = q.reshape(b, h * w, self.num_heads, head_dim)
@@ -282,10 +308,13 @@ class _DenseParams(nn.Module):
 
     in_features: int
     features: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         k = self.param("kernel", _dense_init, (self.in_features, self.features))
+        if not self.use_bias:  # tree matches nn.Dense(use_bias=False)
+            return k, jnp.zeros((self.features,), k.dtype)
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         return k, b
 
@@ -335,10 +364,12 @@ class MixFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
-                 residual_ln: tuple | None = None) -> jnp.ndarray:
+                 residual_ln: tuple | None = None, params_only: bool = False):
         k1, b1 = _DenseParams(x.shape[-1], self.hidden_dim, name="fc1")()
         kdw, bdw = _DWConvParams(self.hidden_dim, name="dwconv")()
         k2, b2 = _DenseParams(self.hidden_dim, self.dim, name="fc2")()
+        if params_only:  # fused-block path: the megakernel consumes these
+            return k1, b1, kdw, bdw, k2, b2
 
         if residual_ln is not None:
             # x is the PRE-norm residual stream; compute x + FFN(LN(x)) as one
@@ -397,10 +428,60 @@ class MiTBlock(nn.Module):
     drop_path_rate: float
     norm_eps: float
     dwconv_impl: str | None = None
+    block_impl: str | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        # S tokens the kernel's (th+2, wp, Sp) score buffer must hold: the
+        # floor-divided SR grid (sr > 1, matching _NonOverlapConv) or the
+        # full token map (sr == 1 — stage 4's 1/32 grid, still tiny).
+        _, _h, _w, _ = x.shape
+        n_kv = (_h // self.sr_ratio) * (_w // self.sr_ratio) \
+            if self.sr_ratio > 1 else _h * _w
+        use_mega = (
+            self.block_impl in ("fused", "fused-interpret")
+            and self.dim % self.num_heads == 0 and n_kv <= 2048
+            and deterministic and self.drop == 0.0 and self.attn_drop == 0.0
+            and (self.block_impl == "fused-interpret"
+                 or jax.devices()[0].platform in ("tpu", "axon"))
+        )
+        if use_mega:
+            # Whole block as ONE Pallas kernel (ops/stage_block.py): LN1 +
+            # q-proj + SRA attention + out-proj + residual + LN2 + MixFFN +
+            # residual, all VMEM-resident. K/V (S ≈ HW/sr² tokens) stay
+            # XLA-side. All param holders keep the composed path's exact
+            # trees, so checkpoints are interchangeable.
+            from ..ops.stage_block import mit_block_fused
+
+            g1, be1 = _LNParams(self.dim, name="norm1")()
+            # K/V consume LN1(x) like the composed path (reference Block
+            # applies norm1 before Attention, incl. its SR branch). This LN1
+            # pass is XLA-side — the kernel recomputes LN1 in-register for q,
+            # so only the sr-conv branch reads this map (XLA fuses the LN
+            # into the pooling input; ~2 MB extra traffic per block).
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+            h1 = ((xf - mu) * jax.lax.rsqrt(var + self.norm_eps)
+                  * g1.astype(jnp.float32) + be1.astype(jnp.float32)
+                  ).astype(self.dtype)
+            k, v, wq, bq, wpr, bpr = SRAttention(
+                self.dim, self.num_heads, self.sr_ratio, self.qkv_bias,
+                self.attn_drop, self.drop, self.norm_eps, self.dtype,
+                name="attn",
+            )(h1, deterministic, kv_only=True)
+            g2, be2 = _LNParams(self.dim, name="norm2")()
+            k1, b1, kdw, bdw, k2, b2 = MixFFN(
+                self.dim, int(self.dim * self.mlp_ratio), self.drop,
+                self.dwconv_impl, self.dtype, name="mlp",
+            )(x, deterministic, params_only=True)
+            return mit_block_fused(
+                x.astype(self.dtype), g1, be1, wq, bq, k, v, wpr, bpr,
+                g2, be2, k1, b1, kdw, bdw, k2, b2,
+                num_heads=self.num_heads, eps=self.norm_eps,
+                interpret=self.block_impl == "fused-interpret")
+
         h = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
         h = SRAttention(
             self.dim,
@@ -453,11 +534,13 @@ class MiT(nn.Module):
         outs = []
         cur = 0
         for s in range(4):
+            embed_impl = (cfg.embed_impl[s] if isinstance(cfg.embed_impl, tuple)
+                          else cfg.embed_impl)
             x = OverlapPatchEmbed(
                 cfg.embed_dims[s],
                 cfg.patch_sizes[s],
                 cfg.patch_strides[s],
-                cfg.embed_impl,
+                embed_impl,
                 self.dtype,
                 name=f"patch_embed{s + 1}",
             )(x)
@@ -473,6 +556,7 @@ class MiT(nn.Module):
                     drop_path_rate=dpr[cur + i],
                     norm_eps=cfg.norm_eps,
                     dwconv_impl=cfg.dwconv_impl,
+                    block_impl=cfg.block_impl,
                     dtype=self.dtype,
                     name=f"block{s + 1}_{i}",
                 )(x, deterministic)

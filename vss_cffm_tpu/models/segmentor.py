@@ -54,15 +54,20 @@ class SegmentorConfig:
     # backbone dwconv implementation override: None = auto (Pallas on TPU)
     dwconv_impl: str | None = None
     # backbone patch-embed implementation: None = strided conv; "im2col" =
-    # conv-free slices+dense (see models/mit.py:_Im2ColConv)
-    embed_impl: str | None = None
+    # conv-free slices+dense (see models/mit.py:_Im2ColConv); a 4-tuple
+    # selects per stage
+    embed_impl: str | tuple | None = None
+    # backbone whole-block fusion for single-head stages at inference:
+    # None = composed path; "fused" = ops/stage_block.py megakernel
+    block_impl: str | None = None
     test_cfg: TestConfig = dataclasses.field(default_factory=TestConfig)
 
     @property
     def backbone_config(self) -> MiTConfig:
         return dataclasses.replace(MIT_VARIANTS[self.backbone],
                                    dwconv_impl=self.dwconv_impl,
-                                   embed_impl=self.embed_impl)
+                                   embed_impl=self.embed_impl,
+                                   block_impl=self.block_impl)
 
 
 def build_segmentor(config: "SegmentorConfig", dtype=jnp.float32):

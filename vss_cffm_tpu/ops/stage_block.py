@@ -22,10 +22,11 @@ in-kernel is exactly the Mosaic shape-cast territory that sank the in-kernel
 CFM K/V assembly. The attention scale is folded into Kᵀ XLA-side (one less
 VPU pass; numerically identical contraction in f32).
 
-Single-head only (``num_heads == 1`` — stage 1 of every MiT variant): the
-softmax then runs over the lane dim of one (rows, W, S) score block and the
-head merge is a no-op. Multi-head stages keep the XLA path (their C ≥ 128
-layouts don't trigger the slow emitter).
+Multi-head (stages 2-4) runs as a static in-kernel loop over head-major
+weight stacks ((nh, C, dh) q / (nh, dh, C) proj, per-head (dh, S) Kᵀ):
+dh = 64 < the 128-lane tile, so per-head slicing happens in the *weight
+restack* XLA-side, never on the lane dim in-kernel; the output projection
+accumulates per head (Σ_h ctx_h @ Wproj[h] ≡ concat(ctx) @ Wproj).
 
 Row halos (±1, for the MixFFN dwconv) use the resident whole-frame block +
 overlapping ``pl.ds`` row windows, exactly like ``ops/mixffn.block_ffn_fused``;
@@ -84,21 +85,27 @@ def _kernel(x_ref, g1_ref, be1_ref, wq_ref, bq_ref, kt_ref, v_ref, wp_ref,
     t = pl.program_id(1)
     wp = x_ref.shape[2]
     cdt = wq_ref.dtype
+    nh = wq_ref.shape[0]
 
     x = x_ref[0, pl.ds(t * th, th + 2)]       # (th+2, wp, C), rows overlap ±1
     xf = x.astype(jnp.float32)
 
-    # ---- attention half: LN1 → q → softmax(q·(s·Kᵀ)) @ V → proj → +x ----
+    # ---- attention half: LN1 → per-head q → softmax(q·(s·Kᵀ)) @ V → proj ----
+    # Heads run as a static loop over head-major weight stacks — no lane-dim
+    # slicing (dh = 64 < the 128-lane tile); the output projection is
+    # accumulated per head (ctx_h @ Wproj[h] summed ≡ concat(ctx) @ Wproj).
     ln1 = _ln_f32(xf, g1_ref[0], be1_ref[0], eps).astype(cdt)
-    q = (_dot3(ln1, wq_ref[:]) + bq_ref[0]).astype(cdt)
-    s = _dot3(q, kt_ref[0])                   # (th+2, wp, Sp) f32, scale in Kᵀ
-    lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-    s = jnp.where(lane < nkv, s, -1e30)       # zero-padded K/V tokens
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(cdt)
-    ctx = _dot3(p, v_ref[0]).astype(cdt)      # (th+2, wp, C)
-    y = xf + _dot3(ctx, wp_ref[:]) + bp_ref[0]  # f32, slab coords
+    y = xf + bp_ref[0]
+    for hh in range(nh):
+        q = (_dot3(ln1, wq_ref[hh]) + bq_ref[hh]).astype(cdt)
+        s = _dot3(q, kt_ref[0, hh])           # (th+2, wp, Sp) f32, scale in Kᵀ
+        lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(lane < nkv, s, -1e30)   # zero-padded K/V tokens
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(cdt)
+        ctx = _dot3(p, v_ref[0, hh]).astype(cdt)  # (th+2, wp, dh)
+        y = y + _dot3(ctx, wp_ref[hh])        # f32, slab coords
 
     # ---- FFN half: LN2 → fc1 → 3×3 dwconv → GELU → fc2 → +y ----
     ln2 = _ln_f32(y, g2_ref[0], be2_ref[0], eps).astype(cdt)
@@ -119,54 +126,62 @@ def _kernel(x_ref, g1_ref, be1_ref, wq_ref, bq_ref, kt_ref, v_ref, wp_ref,
     o_ref[0] = (out + res)[:, :w].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "interpret"))
 def mit_block_fused(x, g1, be1, wq, bq, k, v, wproj, bproj, g2, be2,
-                    w1, b1, kdw, bdw, w2, b2,
+                    w1, b1, kdw, bdw, w2, b2, num_heads: int = 1,
                     eps: float = 1e-6, interpret: bool = False):
-    """One single-head MiT block, fused.
+    """One MiT block, fused.
 
     x (B, H, W, C); k/v (B, S, C) — the spatial-reduced keys/values per
-    frame (scale NOT yet applied; folded into Kᵀ here); dense kernels in
-    flax layout ((in, out)); kdw (3, 3, 1, Ch). Returns (B, H, W, C) in
-    x.dtype.
+    frame, head-major over C (scale NOT yet applied; folded into Kᵀ here);
+    dense kernels in flax layout ((in, out)); kdw (3, 3, 1, Ch). Weights are
+    restacked head-major here ((nh, C, dh) / (nh, dh, C)) so the kernel loops
+    heads without lane-dim slicing. Returns (B, H, W, C) in x.dtype.
     """
     b, h, w, c = x.shape
     ch = w1.shape[1]
     s = k.shape[1]
+    nh = num_heads
+    dh = c // nh
     sp = -(-s // 128) * 128
     wp = -(-(w + 2) // 8) * 8
     th = _pick_th(h, wp, ch, sp)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
     dt = x.dtype
-    scale = float(c) ** -0.5  # single head: head_dim == C
-    kt = jnp.pad(jnp.swapaxes(k, 1, 2) * jnp.asarray(scale, k.dtype),
-                 ((0, 0), (0, 0), (0, sp - s)))
-    vp = jnp.pad(v, ((0, 0), (0, sp - s), (0, 0)))
+    scale = float(dh) ** -0.5
+    # (B, S, C) head-major → (B, nh, dh, S) Kᵀ stacks / (B, nh, S, dh) V
+    kt = jnp.pad(
+        (k * jnp.asarray(scale, k.dtype)).reshape(b, s, nh, dh).transpose(0, 2, 3, 1),
+        ((0, 0), (0, 0), (0, 0), (0, sp - s)))
+    vp = jnp.pad(v.reshape(b, s, nh, dh).transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, sp - s), (0, 0)))
+    wqh = wq.reshape(c, nh, dh).transpose(1, 0, 2)
+    bqh = bq.astype(jnp.float32).reshape(nh, dh)
+    wph = wproj.reshape(nh, dh, c)
     row = lambda a: a.astype(jnp.float32).reshape(1, -1)
-    frame = lambda i, t: (i, 0, 0)
+    frame4 = lambda i, t: (i, 0, 0, 0)
     both = lambda i, t: (0, 0)
+    three = lambda i, t: (0, 0, 0)
     return pl.pallas_call(
         functools.partial(_kernel, th=th, h=h, w=w, nkv=s, eps=eps),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), dt),
         grid=(b, h // th),
         in_specs=[
             # whole padded frame: index map ignores t → VMEM-resident per frame
-            pl.BlockSpec((1, h + 2, wp, c), lambda i, t: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h + 2, wp, c), frame4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), both, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), both, memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), both, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), both, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, sp), frame, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, c), frame, memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), both, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, c, dh), three, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, dh), both, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, dh, sp), frame4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, sp, dh), frame4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, dh, c), three, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), both, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), both, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), both, memory_space=pltpu.VMEM),
             pl.BlockSpec((c, ch), both, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ch), both, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, ch), lambda i, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, ch), three, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ch), both, memory_space=pltpu.VMEM),
             pl.BlockSpec((ch, c), both, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), both, memory_space=pltpu.VMEM),
@@ -175,31 +190,37 @@ def mit_block_fused(x, g1, be1, wq, bq, k, v, wproj, bproj, g2, be2,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(
-        xp, row(g1), row(be1), wq.astype(dt), row(bq), kt.astype(dt),
-        vp.astype(dt), wproj.astype(dt), row(bproj), row(g2), row(be2),
+        xp, row(g1), row(be1), wqh.astype(dt), bqh, kt.astype(dt),
+        vp.astype(dt), wph.astype(dt), row(bproj), row(g2), row(be2),
         w1.astype(dt), row(b1), kdw.reshape(3, 3, ch).astype(jnp.float32),
         row(bdw), w2.astype(dt), row(b2),
     )
 
 
 def mit_block_xla(x, g1, be1, wq, bq, k, v, wproj, bproj, g2, be2,
-                  w1, b1, kdw, bdw, w2, b2, eps: float = 1e-6):
+                  w1, b1, kdw, bdw, w2, b2, num_heads: int = 1,
+                  eps: float = 1e-6):
     """Identical-math XLA composition (CPU fallback / kernel test oracle):
     f32 LN stats and residual chain, compute-dtype matmul inputs with f32
     accumulation — the kernel's exact dtype plan."""
     dt = x.dtype
     c = x.shape[-1]
+    nh, dh = num_heads, c // num_heads
+    ns = k.shape[1]
     f32 = jnp.float32
     xf = x.astype(f32)
     ln1 = _ln_f32(xf, g1.astype(f32), be1.astype(f32), eps).astype(dt)
     q = (jnp.einsum("bhwc,cd->bhwd", ln1, wq.astype(dt),
                     preferred_element_type=f32) + bq.astype(f32)).astype(dt)
-    scale = float(c) ** -0.5
-    s = jnp.einsum("bhwc,bsc->bhws", q, (k * jnp.asarray(scale, k.dtype)).astype(dt),
-                   preferred_element_type=f32)
+    scale = float(dh) ** -0.5
+    qh = q.reshape(*q.shape[:3], nh, dh)
+    kh = (k * jnp.asarray(scale, k.dtype)).astype(dt).reshape(-1, ns, nh, dh)
+    vh = v.astype(dt).reshape(-1, ns, nh, dh)
+    s = jnp.einsum("bhwnd,bsnd->bhwns", qh, kh, preferred_element_type=f32)
     p = jax.nn.softmax(s, axis=-1).astype(dt)
-    ctx = jnp.einsum("bhws,bsc->bhwc", p, v.astype(dt),
+    ctx = jnp.einsum("bhwns,bsnd->bhwnd", p, vh,
                      preferred_element_type=f32).astype(dt)
+    ctx = ctx.reshape(*q.shape[:3], c)
     ao = jnp.einsum("bhwc,cd->bhwd", ctx, wproj.astype(dt),
                     preferred_element_type=f32) + bproj.astype(f32)
     y = xf + ao  # f32, like the kernel
