@@ -88,11 +88,13 @@ class MiTConfig:
     # selects per stage (e.g. ("im2col", None, None, None) keeps only the
     # stage-1 embed conv-free — the producer of the fused-block pallas_call).
     embed_impl: str | tuple | None = None
-    # whole-block fusion: "fused" = single-head stages run LN1+SRA-attn+proj
-    # +residual+LN2+MixFFN+residual as ONE Pallas kernel at inference
-    # (ops/stage_block.py); K/V stay XLA-side. Multi-head stages keep the
-    # composed path. "fused-interpret" for CPU tests.
-    block_impl: str | None = None
+    # whole-block fusion: "fused" = blocks run LN1+SRA-attn+proj+residual+
+    # LN2+MixFFN+residual as ONE Pallas kernel at inference
+    # (ops/stage_block.py); K/V stay XLA-side. "fused-interpret" for CPU
+    # tests. A 4-tuple selects per stage — measured: the kernel wins at
+    # C ≥ 128 lanes (stages 2+) and loses at stage 1's C=64 half-lane
+    # geometry, so (None, "fused", "fused", "fused") is the fast set.
+    block_impl: str | tuple | None = None
 
 
 # Reference variant table (``mix_transformer.py:373-424``).
@@ -536,6 +538,8 @@ class MiT(nn.Module):
         for s in range(4):
             embed_impl = (cfg.embed_impl[s] if isinstance(cfg.embed_impl, tuple)
                           else cfg.embed_impl)
+            block_impl = (cfg.block_impl[s] if isinstance(cfg.block_impl, tuple)
+                          else cfg.block_impl)
             x = OverlapPatchEmbed(
                 cfg.embed_dims[s],
                 cfg.patch_sizes[s],
@@ -556,7 +560,7 @@ class MiT(nn.Module):
                     drop_path_rate=dpr[cur + i],
                     norm_eps=cfg.norm_eps,
                     dwconv_impl=cfg.dwconv_impl,
-                    block_impl=cfg.block_impl,
+                    block_impl=block_impl,
                     dtype=self.dtype,
                     name=f"block{s + 1}_{i}",
                 )(x, deterministic)

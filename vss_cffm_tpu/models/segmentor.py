@@ -57,9 +57,9 @@ class SegmentorConfig:
     # conv-free slices+dense (see models/mit.py:_Im2ColConv); a 4-tuple
     # selects per stage
     embed_impl: str | tuple | None = None
-    # backbone whole-block fusion for single-head stages at inference:
-    # None = composed path; "fused" = ops/stage_block.py megakernel
-    block_impl: str | None = None
+    # backbone whole-block fusion at inference: None = composed path;
+    # "fused" = ops/stage_block.py megakernel; a 4-tuple selects per stage
+    block_impl: str | tuple | None = None
     test_cfg: TestConfig = dataclasses.field(default_factory=TestConfig)
 
     @property

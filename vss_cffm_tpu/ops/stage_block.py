@@ -126,10 +126,12 @@ def _kernel(x_ref, g1_ref, be1_ref, wq_ref, bq_ref, kt_ref, v_ref, wp_ref,
     o_ref[0] = (out + res)[:, :w].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "interpret",
+                                             "vmem_budget"))
 def mit_block_fused(x, g1, be1, wq, bq, k, v, wproj, bproj, g2, be2,
                     w1, b1, kdw, bdw, w2, b2, num_heads: int = 1,
-                    eps: float = 1e-6, interpret: bool = False):
+                    eps: float = 1e-6, interpret: bool = False,
+                    vmem_budget: int = 4 << 20):
     """One MiT block, fused.
 
     x (B, H, W, C); k/v (B, S, C) — the spatial-reduced keys/values per
@@ -145,7 +147,7 @@ def mit_block_fused(x, g1, be1, wq, bq, k, v, wproj, bproj, g2, be2,
     dh = c // nh
     sp = -(-s // 128) * 128
     wp = -(-(w + 2) // 8) * 8
-    th = _pick_th(h, wp, ch, sp)
+    th = _pick_th(h, wp, ch, sp, vmem_budget)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
     dt = x.dtype
     scale = float(dh) ** -0.5
