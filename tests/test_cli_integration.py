@@ -71,15 +71,26 @@ def test_train_then_test_cli(setup, env):
     assert os.path.isdir(ckpt)
 
     out_json = os.path.join(work, "metrics.json")
+    show_dir = os.path.join(work, "show")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "test.py"), cfg_path, ckpt,
-         "--streaming", "--out", out_json],
+         "--streaming", "--out", out_json, "--show", "--show-dir", show_dir],
         env=env, capture_output=True, text=True, timeout=900,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     with open(out_json) as f:
         metrics = json.load(f)
     assert "mIoU" in metrics and "FWIoU" in metrics
+    # --show wrote one blended overlay per frame (reference --show semantics)
+    vis = show_dir + "_vis"
+    import glob
+
+    pngs = glob.glob(os.path.join(vis, "*", "*.png"))
+    assert pngs, f"--show produced no overlays in {vis}"
+    import cv2
+
+    im = cv2.imread(pngs[0])
+    assert im is not None and im.ndim == 3
 
 
 def test_dist_train_launcher(setup, env, tmp_path):

@@ -38,8 +38,12 @@ def _parse_impl(s: str | None):
     return s
 
 
-def aggregate_xspace(trace_dir: str, merge_fusions: bool = False) -> dict[str, float]:
-    """Sum device-plane event durations (µs) by event name."""
+def aggregate_xspace(trace_dir: str) -> dict[str, float]:
+    """Sum device-plane event durations (µs) by event name.
+
+    Exactly ONE op line per device plane is aggregated ("XLA Ops" preferred)
+    so a plane carrying several matching lines can't double-count device time.
+    """
     from tensorboard_plugin_profile.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
@@ -54,15 +58,21 @@ def aggregate_xspace(trace_dir: str, merge_fusions: bool = False) -> dict[str, f
                 continue
             if "host" in nm:
                 continue
+            # Pick the single best op line: "XLA Ops" if present, else the
+            # first line that looks op-shaped.
+            candidates = [
+                ln for ln in plane.lines
+                if "xla op" in ln.name.lower() or "xla:" in ln.name.lower()
+                or ln.name.lower() == "ops"
+            ]
+            if not candidates:
+                continue
+            preferred = [ln for ln in candidates if ln.name.lower() == "xla ops"]
+            line = preferred[0] if preferred else candidates[0]
             ev_meta = plane.event_metadata
-            for line in plane.lines:
-                lname = line.name.lower()
-                # XLA op lines carry per-HLO events; skip step/framework lines
-                if "xla op" not in lname and "xla:" not in lname and lname != "ops":
-                    continue
-                for ev in line.events:
-                    name = ev_meta[ev.metadata_id].name
-                    agg[name] += ev.duration_ps / 1e6
+            for ev in line.events:
+                name = ev_meta[ev.metadata_id].name
+                agg[name] += ev.duration_ps / 1e6
     return dict(agg)
 
 

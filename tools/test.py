@@ -67,13 +67,24 @@ def main():
     ap.add_argument("--split", default="val")
     ap.add_argument("--eval", action="store_true", default=True)
     ap.add_argument("--no-eval", dest="eval", action="store_false")
-    ap.add_argument("--vc", action="store_true", help="compute VC8/VC16 inline")
+    ap.add_argument("--vc", action="store_true",
+                    help="compute VC8/VC16 inline; on multi-process runs combine "
+                         "with --streaming (shards by whole video, keeping each "
+                         "video's frame sequence local so VC stays exact — the "
+                         "default frame-strided sharding would split sequences)")
     ap.add_argument("--streaming", action="store_true",
                     help="video-sequential eval with per-frame feature cache (~4x faster, "
-                         "identical outputs)")
+                         "identical outputs); multi-process: shards by video")
     ap.add_argument("--aug-test", action="store_true",
                     help="multi-scale (0.5..1.75) + flip TTA (reference --aug-test)")
     ap.add_argument("--format-only", action="store_true")
+    ap.add_argument("--show", action="store_true",
+                    help="write blended overlay visualizations (apis.show_result) "
+                         "to <show-dir>_vis (reference --show / show_result_pyplot, "
+                         "``mmseg/apis/inference.py:107-128``; headless: saved, not "
+                         "displayed)")
+    ap.add_argument("--opacity", type=float, default=0.5,
+                    help="overlay opacity for --show (reference --opacity)")
     ap.add_argument("--show-dir", default="result_submission")
     ap.add_argument("--out", help="dump metrics JSON (.json) or raw per-frame "
                                   "masks pickle (.pkl, ≙ reference --out res.pkl)")
@@ -157,6 +168,25 @@ def main():
                 preds[item["index"]] = path
             else:
                 preds[item["index"]] = pred.astype(np.uint8)
+
+    if args.show:
+        import cv2
+
+        from vss_cffm_tpu.apis import show_result
+        from vss_cffm_tpu.data.palette import VSPW_PALETTE
+
+        vis_dir = args.show_dir.rstrip("/") + "_vis"
+        dump_fn = on_pred
+
+        def on_pred(item, pred, _dump=dump_fn):
+            if _dump is not None:
+                _dump(item, pred)
+            blend = show_result(dataset._img_path(item["video"], item["frame"]),
+                                pred, palette=VSPW_PALETTE, opacity=args.opacity)
+            dst = os.path.join(vis_dir, item["video"])
+            os.makedirs(dst, exist_ok=True)
+            cv2.imwrite(os.path.join(
+                dst, item["frame"].rsplit(".", 1)[0] + ".png"), blend)
 
     save_dir = args.show_dir if args.format_only else None
     tc = cfg.model.test_cfg  # ≙ reference test_cfg=dict(mode='whole'|'slide', ...)

@@ -242,7 +242,7 @@ class SRAttention(nn.Module):
         scale = head_dim**-0.5
 
         if kv_only:
-            # Fused-block path (single head): compute only the spatial-reduced
+            # Fused-block path: compute only the spatial-reduced
             # K/V here (cheap, S ≈ HW/sr² tokens) and hand the q/proj params to
             # the megakernel. _DenseParams shares nn.Dense's exact param tree,
             # so checkpoints are interchangeable with the composed path.

@@ -55,12 +55,29 @@ from .dwconv import _gelu_exact
 __all__ = ["mit_block_fused", "mit_block_xla"]
 
 
-def _pick_th(h: int, wp: int, ch: int, sp: int, budget_bytes: int = 4 << 20) -> int:
-    """Largest divisor of H fitting the two big f32 per-tile buffers (the
-    (th+2, wp, S) attention scores and the (th+2, wp, Ch) hidden slab)."""
-    best = 1
+def _pick_th(h: int, w: int, wp: int, c: int, ch: int, nh: int, dh: int,
+             sp: int, dt_bytes: int, budget_bytes: int = 16 << 20):
+    """Largest divisor of H whose full VMEM footprint fits ``budget_bytes``,
+    or ``None`` if even th=1 does not fit (caller falls back to the XLA
+    composition).
+
+    Budgets everything resident per grid step: the whole padded frame block,
+    the Kᵀ/V stacks, the weight blocks, the output tile, and the two big f32
+    per-tile intermediates ((th+2, wp, S) attention scores and (th+2, wp, Ch)
+    hidden slab)."""
+    fixed = (
+        (h + 2) * wp * c * dt_bytes        # padded frame block (t-invariant)
+        + 2 * nh * dh * sp * dt_bytes      # Kᵀ and V stacks
+        + 2 * nh * c * dh * dt_bytes       # wq / wproj head stacks
+        + 2 * c * ch * dt_bytes            # w1 / w2
+        + 9 * ch * 4                       # dwconv taps (f32)
+    )
+    best = None
     for th in range(1, h + 1):
-        if h % th == 0 and (th + 2) * wp * (ch + sp) * 4 <= budget_bytes:
+        if h % th:
+            continue
+        tile = (th + 2) * wp * (ch + sp) * 4 + th * w * c * dt_bytes
+        if fixed + tile <= budget_bytes:
             best = th
     return best
 
@@ -131,7 +148,7 @@ def _kernel(x_ref, g1_ref, be1_ref, wq_ref, bq_ref, kt_ref, v_ref, wp_ref,
 def mit_block_fused(x, g1, be1, wq, bq, k, v, wproj, bproj, g2, be2,
                     w1, b1, kdw, bdw, w2, b2, num_heads: int = 1,
                     eps: float = 1e-6, interpret: bool = False,
-                    vmem_budget: int = 4 << 20):
+                    vmem_budget: int = 16 << 20):
     """One MiT block, fused.
 
     x (B, H, W, C); k/v (B, S, C) — the spatial-reduced keys/values per
@@ -147,9 +164,15 @@ def mit_block_fused(x, g1, be1, wq, bq, k, v, wproj, bproj, g2, be2,
     dh = c // nh
     sp = -(-s // 128) * 128
     wp = -(-(w + 2) // 8) * 8
-    th = _pick_th(h, wp, ch, sp, vmem_budget)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
     dt = x.dtype
+    th = _pick_th(h, w, wp, c, ch, nh, dh, sp, dt.itemsize, vmem_budget)
+    if th is None:
+        # Even th=1 exceeds VMEM at this geometry — serve the block from the
+        # identical-math XLA composition instead of risking a Mosaic OOM.
+        return mit_block_xla(x, g1, be1, wq, bq, k, v, wproj, bproj, g2, be2,
+                             w1, b1, kdw, bdw, w2, b2, num_heads=num_heads,
+                             eps=eps)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
     scale = float(dh) ** -0.5
     # (B, S, C) head-major → (B, nh, dh, S) Kᵀ stacks / (B, nh, S, dh) V
     kt = jnp.pad(
