@@ -91,7 +91,7 @@ def state_dict_numpy(net) -> dict:
     return {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
 
 
-def forward_parity(h: int, w: int) -> dict:
+def forward_parity(h: int, w: int, bf16: bool = False) -> dict:
     import torch
 
     import jax.numpy as jnp
@@ -114,12 +114,17 @@ def forward_parity(h: int, w: int) -> dict:
 
     cfg = build_model_config("b1")
     variables = convert_segmentor(state_dict_numpy(refnet), cfg)
-    model = CFFMSegmentor(cfg)  # f32
+    # --bf16: the SHIPPED inference precision (params f32, compute bf16 — the
+    # eval configs set bf16=True) vs the torch f32 reference: bounds the
+    # accuracy cost of the deployed dtype policy, not just f32 semantics
+    # (VERDICT r3 #4). Match: eval protocol
+    # /root/reference/local_configs/_base_/datasets/vspw_repeat2.py:19-33.
+    model = CFFMSegmentor(cfg, dtype=jnp.bfloat16 if bf16 else jnp.float32)
     t0 = time.time()
     got = np.asarray(model.apply(
         {"params": variables["params"], "batch_stats": variables["batch_stats"]},
         jnp.asarray(x), False,
-    ))
+    ), np.float32)
     t_jax = time.time() - t0
 
     assert got.shape == want.shape, (got.shape, want.shape)
@@ -129,6 +134,7 @@ def forward_parity(h: int, w: int) -> dict:
     agree = float((got.argmax(-1) == want.argmax(-1)).mean())
     out = {
         "shape": f"{h}x{w}",
+        "dtype": "bf16" if bf16 else "f32",
         "max_abs": float(diff.max()),
         "mean_abs": float(diff.mean()),
         "max_tol_excess": float((diff - tol).max()),
@@ -138,8 +144,13 @@ def forward_parity(h: int, w: int) -> dict:
         "t_jax_s": round(t_jax, 1),
     }
     print("forward parity:", out)
-    assert out["max_tol_excess"] <= 0.0, out
-    assert agree > 0.999, out
+    if bf16:
+        # bf16 rounding breaks the f32 logit tolerance by design; the
+        # deliverable is the measured drift + argmax disagreement bound
+        assert agree > 0.99, out
+    else:
+        assert out["max_tol_excess"] <= 0.0, out
+        assert agree > 0.999, out
     return out
 
 
@@ -262,10 +273,14 @@ def main():
     ap.add_argument("--fwd-shape", type=int, nargs=2, default=(480, 864),
                     help="AlignedResize/32 output for (480, 853) inputs")
     ap.add_argument("--grad-shape", type=int, nargs=2, default=(160, 160))
+    ap.add_argument("--bf16", action="store_true",
+                    help="run the forward with the SHIPPED bf16 compute "
+                         "policy vs the torch f32 reference (accuracy bound "
+                         "of the deployed dtype, VERDICT r3 #4)")
     args = ap.parse_args()
     results = {}
     if not args.skip_forward:
-        results["forward"] = forward_parity(*args.fwd_shape)
+        results["forward"] = forward_parity(*args.fwd_shape, bf16=args.bf16)
     if not args.skip_grad:
         results["grad"] = grad_parity(*args.grad_shape)
     print("PARITY ORACLE PASS")

@@ -44,7 +44,10 @@ def aggregate_xspace(trace_dir: str) -> dict[str, float]:
     Exactly ONE op line per device plane is aggregated ("XLA Ops" preferred)
     so a plane carrying several matching lines can't double-count device time.
     """
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:  # plugin layout varies by version
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
     agg: dict[str, float] = collections.defaultdict(float)

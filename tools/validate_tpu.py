@@ -117,12 +117,16 @@ def kernel_parity(rng) -> dict:
     assert out["block_ffn_kernel_max_err"] < 0.05, out
 
     # whole-block megakernel (LN1+SRA attn+proj+res+LN2+FFN+res), single- and
-    # multi-head, at the real stage-1/2 480² geometries
+    # multi-head, at ALL FOUR real 480² stage geometries — stage 3 (5 heads,
+    # w=30) and stage 4 (sr=1, w=15 non-8-aligned sublane block) exercise
+    # Mosaic paths that CPU interpret mode cannot prove
     from vss_cffm_tpu.ops.stage_block import mit_block_fused, mit_block_xla
 
     for tag, (hh, ww, cc, chh, ss, nheads) in {
         "stage1": (120, 120, 64, 256, 225, 1),
         "stage2": (60, 60, 128, 512, 225, 2),
+        "stage3": (30, 30, 320, 1280, 225, 5),
+        "stage4": (15, 15, 512, 2048, 225, 8),
     }.items():
         xb = jnp.asarray(rng.randn(2, hh, ww, cc).astype(np.float32)).astype(jnp.bfloat16)
         kb = jnp.asarray(rng.randn(2, ss, cc).astype(np.float32) * 0.2).astype(jnp.bfloat16)

@@ -56,15 +56,19 @@ __all__ = ["mit_block_fused", "mit_block_xla"]
 
 
 def _pick_th(h: int, w: int, wp: int, c: int, ch: int, nh: int, dh: int,
-             sp: int, dt_bytes: int, budget_bytes: int = 16 << 20):
-    """Largest divisor of H whose full VMEM footprint fits ``budget_bytes``,
-    or ``None`` if even th=1 does not fit (caller falls back to the XLA
-    composition).
+             sp: int, dt_bytes: int, tile_budget: int = 4 << 20,
+             vmem_limit: int = 16 << 20):
+    """Row-tile height: largest divisor of H whose two big f32 per-tile
+    buffers ((th+2, wp, S) attention scores and (th+2, wp, Ch) hidden slab)
+    fit ``tile_budget`` AND whose full footprint fits Mosaic's 16 MB scoped
+    VMEM stack; ``None`` if even th=1 does not fit (caller falls back to the
+    XLA composition).
 
-    Budgets everything resident per grid step: the whole padded frame block,
-    the Kᵀ/V stacks, the weight blocks, the output tile, and the two big f32
-    per-tile intermediates ((th+2, wp, S) attention scores and (th+2, wp, Ch)
-    hidden slab)."""
+    The footprint model: fixed residents (padded frame block, Kᵀ/V stacks,
+    weight blocks) + 2× the f32 tile buffers (each has a live sibling —
+    scores/probs, hidden/shifted — matching the observed Mosaic stack:
+    25.05 MB measured at stage-2 th=60 vs 25.4 MB modeled) + the output
+    tile."""
     fixed = (
         (h + 2) * wp * c * dt_bytes        # padded frame block (t-invariant)
         + 2 * nh * dh * sp * dt_bytes      # Kᵀ and V stacks
@@ -76,8 +80,9 @@ def _pick_th(h: int, w: int, wp: int, c: int, ch: int, nh: int, dh: int,
     for th in range(1, h + 1):
         if h % th:
             continue
-        tile = (th + 2) * wp * (ch + sp) * 4 + th * w * c * dt_bytes
-        if fixed + tile <= budget_bytes:
+        tile = (th + 2) * wp * (ch + sp) * 4
+        total = fixed + 2 * tile + th * w * c * dt_bytes
+        if tile <= tile_budget and total <= vmem_limit:
             best = th
     return best
 
@@ -148,7 +153,7 @@ def _kernel(x_ref, g1_ref, be1_ref, wq_ref, bq_ref, kt_ref, v_ref, wp_ref,
 def mit_block_fused(x, g1, be1, wq, bq, k, v, wproj, bproj, g2, be2,
                     w1, b1, kdw, bdw, w2, b2, num_heads: int = 1,
                     eps: float = 1e-6, interpret: bool = False,
-                    vmem_budget: int = 16 << 20):
+                    vmem_budget: int = 4 << 20):
     """One MiT block, fused.
 
     x (B, H, W, C); k/v (B, S, C) — the spatial-reduced keys/values per
