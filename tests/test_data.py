@@ -88,6 +88,25 @@ def test_train_loader_batches(vspw_root):
     assert batch["labels"].shape == (2, 4, 64, 64)
 
 
+def test_train_loader_process_mode_matches_threads(vspw_root):
+    """worker_mode='process' (spawned workers + shared-memory transport, the
+    reference DataLoader shape) must yield bit-identical batches to the
+    thread path: the per-item RNG derives from (seed, epoch, index), so
+    worker placement cannot change the stream."""
+    ds = VSPWVideoDataset(vspw_root, "train", crop_size=(64, 64))
+    def take(mode, n=2):
+        it = iter(TrainLoader(ds, batch_size=2, num_workers=2, seed=3,
+                              worker_mode=mode))
+        return [next(it) for _ in range(n)]
+
+    thr = take("thread")
+    prc = take("process")
+    for a, b in zip(thr, prc):
+        np.testing.assert_array_equal(a["imgs"], b["imgs"])
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+        assert a["videos"] == b["videos"]
+
+
 def test_eval_iterator_covers_all_frames(vspw_root):
     ds = VSPWVideoDataset(vspw_root, "val")
     items = list(iterate_eval(ds, num_workers=2))

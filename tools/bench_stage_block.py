@@ -73,6 +73,8 @@ E2E_CONFIGS = [
      ("im2col", None, None, None)),
     ("fused s2-s4", (None, "fused", "fused", "fused"), None),
     ("fused s2+s3", (None, "fused", "fused", None), None),
+    ("fused all + im2col all", "fused", "im2col"),
+    ("fused s1-s3 + im2col all", ("fused", "fused", "fused", None), "im2col"),
 ]
 
 

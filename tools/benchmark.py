@@ -37,19 +37,78 @@ def benchmark_model(cfg, shape=(480, 864), iters=200, warmup=5, train_clip=4, ba
     return batch / dt  # clips (target frames) per second
 
 
+def benchmark_train(cfg, iters=30, warmup=3, batch=None):
+    """Train-step throughput at the config's train geometry (VERDICT r3 #2).
+
+    Steps chain through the donated TrainState (a real data dependency), so
+    one scalar metrics readback at the end forces the whole run; the
+    tunnel roundtrip is calibrated out like ``time_apply_chunked``.
+    Reference geometry: B=8 global batch, 480² crops, 4-frame clips
+    (``local_configs/cffm/B1/cffm.b1.480x480.vspw2.160k.py:48``).
+    """
+    import time
+
+    from vss_cffm_tpu.train import TrainState, build_optimizer, make_train_step
+    from vss_cffm_tpu.utils.benchmark import measure_roundtrip
+
+    model = CFFMSegmentor(cfg.model, dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32)
+    b = batch or cfg.data.batch_size
+    t = len(cfg.data.dilation) + 1
+    h, w = cfg.data.crop_size
+    rng = np.random.RandomState(0)
+    batch_data = {
+        "imgs": jnp.asarray(rng.randn(b, t, h, w, 3), jnp.float32),
+        "labels": jnp.asarray(rng.randint(0, cfg.model.head.num_classes,
+                                          (b, t, h, w)), jnp.int32),
+    }
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    batch_data["imgs"][:1])
+    tx = build_optimizer(variables["params"], cfg.optim)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx)
+    key = jax.random.PRNGKey(1)
+    for i in range(warmup):  # compile + settle
+        state, m = step(state, batch_data, jax.random.fold_in(key, i))
+    float(m["loss_seg"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batch_data, jax.random.fold_in(key, warmup + i))
+    loss = float(m["loss_seg"])  # forces the chained run
+    dt = (time.perf_counter() - t0 - measure_roundtrip()) / iters
+    assert np.isfinite(loss)
+    return {"train_ms_per_iter": round(dt * 1e3, 1),
+            "frames_per_sec": round(b * t / dt, 1),
+            "batch": b, "clip": t, "crop": f"{h}x{w}", "loss": round(loss, 3)}
+
+
 def main():
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
     ap.add_argument("--shape", type=int, nargs=2, default=[480, 864])
     ap.add_argument("--iters", type=int, default=200)
-    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the jitted train step at the config's "
+                         "train geometry instead of clip inference")
+    ap.add_argument("--probs-f32", action="store_true",
+                    help="store the CFM backward softmax-probs residual in "
+                         "f32 instead of the compute dtype (cost probe)")
     ap.add_argument("--options", nargs="*", default=[])
     args = ap.parse_args()
     cfg = apply_overrides(load_config(args.config), args.options)
-    fps = benchmark_model(cfg, tuple(args.shape), args.iters, batch=args.batch)
+    if args.probs_f32:
+        import vss_cffm_tpu.ops.cfm_attention as cfm
+
+        cfm._PROBS_DTYPE = jnp.float32
+    if args.train:
+        out = benchmark_train(cfg, iters=min(args.iters, 50), batch=args.batch)
+        print(f"train: {out}")
+        return
+    fps = benchmark_model(cfg, tuple(args.shape), args.iters,
+                          batch=args.batch or 1)
     print(f"fps: {fps:.2f} (clip inference at {args.shape[0]}x{args.shape[1]}, "
-          f"batch {args.batch})")
+          f"batch {args.batch or 1})")
 
 
 if __name__ == "__main__":

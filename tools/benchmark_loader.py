@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--frames-hw", type=int, nargs=2, default=(480, 853))
     ap.add_argument("--batch-size", type=int, default=2)
     ap.add_argument("--num-workers", type=int, default=4)
+    ap.add_argument("--worker-mode", default="thread",
+                    choices=["thread", "process"],
+                    help="process = spawned workers + shared-memory batch "
+                         "transport (reference DataLoader shape)")
     ap.add_argument("--batches", type=int, default=20)
     args = ap.parse_args()
 
@@ -65,7 +69,8 @@ def main():
         build_tree(root, tuple(args.frames_hw))
         dataset = VSPWVideoDataset(root, "train", crop_size=(480, 480))
         loader = TrainLoader(dataset, args.batch_size,
-                             num_workers=args.num_workers, device_normalize=True)
+                             num_workers=args.num_workers, device_normalize=True,
+                             worker_mode=args.worker_mode)
         it = iter(loader)
         next(it)  # warm the pool / caches
         t0 = time.perf_counter()
@@ -76,7 +81,8 @@ def main():
         dt = time.perf_counter() - t0
         print(f"native decoder available: {native_available()}")
         print(f"{frames / dt:.1f} frames/s host decode+augment "
-              f"({args.batch_size}-clip batches, {args.num_workers} workers)")
+              f"({args.batch_size}-clip batches, {args.num_workers} "
+              f"{args.worker_mode} workers)")
 
 
 if __name__ == "__main__":

@@ -34,6 +34,63 @@ def _sample_rng(seed: int, epoch: int, index: int) -> np.random.RandomState:
     )
 
 
+# ---------------------------------------------------------------- processes
+# Process-pool worker path (reference ``builder.py:141-177`` uses DataLoader
+# worker *processes*): for hosts where the thread path plateaus — the
+# python-side share of an item (file reads, RNG draws, ctypes marshalling,
+# ~2% measured) caps thread scaling near ~50 cores, and any cv2 build that
+# holds the GIL caps it far lower. Workers are spawned (never forked — the
+# parent holds a live TPU client), each builds its own dataset + native
+# decoder, and items return through POSIX shared memory so the 2.8 MB clip
+# crosses process boundaries with one copy instead of pickle+pipe's two.
+
+_PROC_DS: VSPWVideoDataset | None = None
+
+
+def _proc_init(dataset: VSPWVideoDataset) -> None:
+    global _PROC_DS
+    _PROC_DS = dataset
+
+
+def _proc_item(args) -> tuple:
+    from multiprocessing import resource_tracker, shared_memory
+
+    seed, epoch, idx, normalize = args
+    rng = _sample_rng(seed, epoch, idx)
+    item = _PROC_DS.get_train_item(idx, rng, normalize)
+    imgs, labels = np.ascontiguousarray(item["imgs"]), np.ascontiguousarray(item["labels"])
+    shm = shared_memory.SharedMemory(create=True, size=imgs.nbytes + labels.nbytes)
+    np.ndarray(imgs.shape, imgs.dtype, buffer=shm.buf)[:] = imgs
+    np.ndarray(labels.shape, labels.dtype, buffer=shm.buf,
+               offset=imgs.nbytes)[:] = labels
+    meta = (shm.name, imgs.shape, imgs.dtype.str, labels.shape,
+            labels.dtype.str, item["video"])
+    # the parent unlinks; unregister here so this process's resource tracker
+    # doesn't double-free at exit (stdlib tracker is per-creating-process)
+    try:
+        resource_tracker.unregister(shm._name, "shared_memory")  # noqa: SLF001
+    except Exception:
+        pass
+    shm.close()
+    return meta
+
+
+def _proc_collect(meta) -> dict:
+    from multiprocessing import shared_memory
+
+    name, ishape, idt, lshape, ldt, video = meta
+    shm = shared_memory.SharedMemory(name=name)
+    try:
+        imgs = np.array(np.ndarray(ishape, np.dtype(idt), buffer=shm.buf))
+        nbytes = imgs.nbytes
+        labels = np.array(np.ndarray(lshape, np.dtype(ldt), buffer=shm.buf,
+                                     offset=nbytes))
+    finally:
+        shm.close()
+        shm.unlink()
+    return {"imgs": imgs, "labels": labels, "video": video}
+
+
 class TrainLoader:
     """Infinite shuffled clip batches: (B, T, H, W, 3) f32 + (B, T, H, W) i32.
 
@@ -51,17 +108,23 @@ class TrainLoader:
         shard_id: int = 0,
         num_shards: int = 1,
         device_normalize: bool = False,
+        worker_mode: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         # 0 workers = synchronous in-caller loading (DataLoader convention);
-        # >=1 = that many decode threads behind a prefetch queue, clamped to
+        # >=1 = that many decode workers behind a prefetch queue, clamped to
         # the core count (surplus threads measurably thrash the GIL: 4
-        # workers on a 1-core host ran 15% slower than 1)
+        # workers on a 1-core host ran 15% slower than 1).
+        # worker_mode: "thread" (default — the native decode path releases
+        # the GIL) or "process" (spawned workers + shared-memory transport,
+        # the reference DataLoader shape — for hosts where threads plateau).
         if num_workers > 0:
             num_workers = min(num_workers, max(1, os.cpu_count() or 1))
         self.num_workers = num_workers
+        assert worker_mode in ("thread", "process"), worker_mode
+        self.worker_mode = worker_mode
         self.prefetch = prefetch
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -105,17 +168,40 @@ class TrainLoader:
             # the try must cover pool construction too: an uncaught producer
             # exception would leave the consumer blocked on the queue forever
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                if self.worker_mode == "process":
+                    from concurrent.futures import ProcessPoolExecutor
+                    from multiprocessing import get_context
+
+                    pool_cm = ProcessPoolExecutor(
+                        self.num_workers, mp_context=get_context("spawn"),
+                        initializer=_proc_init, initargs=(self.dataset,))
+
+                    def submit(pool, epoch, idx):
+                        return pool.submit(
+                            _proc_item,
+                            (self.seed, epoch, idx, not self.device_normalize))
+
+                    def resolve(fut):
+                        return _proc_collect(fut.result())
+                else:
+                    pool_cm = ThreadPoolExecutor(self.num_workers)
+
+                    def submit(pool, epoch, idx):
+                        rng = _sample_rng(self.seed, epoch, idx)
+                        return pool.submit(self.dataset.get_train_item, idx,
+                                           rng, not self.device_normalize)
+
+                    def resolve(fut):
+                        return fut.result()
+
+                with pool_cm as pool:
                     pending = []
                     while not stop.is_set():
                         while len(pending) < self.batch_size * 2:
                             epoch, idx = next(stream)
-                            rng = _sample_rng(self.seed, epoch, idx)
-                            pending.append(
-                                pool.submit(self.dataset.get_train_item, idx, rng,
-                                            not self.device_normalize)
-                            )
-                        batch_items = [pending.pop(0).result() for _ in range(self.batch_size)]
+                            pending.append(submit(pool, epoch, idx))
+                        batch_items = [resolve(pending.pop(0))
+                                       for _ in range(self.batch_size)]
                         batch = self._batch_of(batch_items)
                         # bounded put that stays responsive to consumer exit
                         while not stop.is_set():

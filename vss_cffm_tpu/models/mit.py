@@ -130,9 +130,20 @@ class _NonOverlapConv(nn.Module):
         if h % p or w % p:  # VALID-conv floor semantics for indivisible sizes
             x = x[:, : h // p * p, : w // p * p]
             h, w = x.shape[1:3]
-        xs = x.reshape(b, h // p, p, w // p, p, c).astype(self.dtype)
-        y = jnp.einsum("bhpwqc,pqcd->bhwd", xs, kernel.astype(self.dtype))
-        return y + bias.astype(self.dtype)
+        # Row-phase accumulation (same rework as _Im2ColConv): per kernel row
+        # ri, ``x[:, ri::p]`` is a coalesced strided row slice whose
+        # (W, C) → (W/p, p·C) reshape is a free row-major view; the conv is
+        # then p matmuls of (p·C, F) accumulated in f32. The previous 6-D
+        # s2d einsum made XLA materialize a (p, p, C)-minor transpose
+        # (~70-100 µs per SRA K/V at stage-1 480²).
+        kr = kernel.astype(self.dtype).reshape(p, p * c, self.features)
+        acc = None
+        for ri in range(p):
+            ph = x[:, ri::p].reshape(b, h // p, w // p, p * c).astype(self.dtype)
+            y = jnp.einsum("bhwk,kf->bhwf", ph, kr[ri],
+                           preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+        return (acc + bias.astype(jnp.float32)).astype(self.dtype)
 
 
 class _Im2ColConv(nn.Module):
@@ -164,31 +175,36 @@ class _Im2ColConv(nn.Module):
         pad = k // 2
         ho = (h + 2 * pad - k) // s + 1
         wo = (w + 2 * pad - k) // s + 1
-        # Block-pair space-to-depth: strided slices serialize on TPU (a
-        # direct 49-strided-slice im2col measured 8.6 ms at 480²), so
-        # instead pad by one full stride block on the left, split into
-        # (s, s) blocks, and give every output token its 2×2 block
-        # neighbourhood — a reshape plus four *contiguous* slices. The k×k
-        # window of output i lives inside blocks (i, i+1) because k ≤ 2s;
-        # the kernel is zero-embedded at offset s-pad into a (2s, 2s) tap
-        # grid so the single matmul applies the exact conv.
-        hp, wp = (ho + 1) * s, (wo + 1) * s
+        # Row-phase space-to-depth, no patch concat (round-4 rework): the
+        # previous block-pair 6-D transpose + 4-way lane concat cost 1.10 ms
+        # at stage-1 480² (an XLA transpose on a 3-channel minor dim at 21×
+        # the bandwidth roofline); this formulation measured 187 µs. Per row
+        # phase ri, ``xp[:, ri::s]`` is a *coalesced* strided row slice and
+        # the (W', C) → (W'/s, s·C) reshape is a free row-major view. The
+        # k×k window of output (i, j) lives inside row cells (i, i+1) ×
+        # col cells (j, j+1) because k ≤ 2s, so the conv is 4s partial
+        # matmuls of (s·C, F) tap slabs accumulated in f32 — no transpose,
+        # no concat, no conv HLO (keeps the backbone layout-neutral for the
+        # Pallas megakernels).
+        hp, wp = (ho + 2) * s, (wo + 2) * s
         xp = jnp.pad(x, ((0, 0), (s, hp - h - s), (s, wp - w - s), (0, 0)))
-        xb = xp.reshape(b, hp // s, s, wp // s, s, c)
-        xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // s, wp // s, s * s * c)
-        patches = jnp.concatenate(
-            [xb[:, :-1, :-1], xb[:, :-1, 1:], xb[:, 1:, :-1], xb[:, 1:, 1:]],
-            axis=-1,
-        ).astype(self.dtype)  # (B, ho, wo, 4*s*s*C), taps (b_r, b_c, r, c, chan)
+        # kernel zero-embedded at offset s-pad into the (2s, 2s) tap grid
         k8 = jnp.zeros((2 * s, 2 * s, c, self.features), kernel.dtype)
         k8 = jax.lax.dynamic_update_slice(k8, kernel, (s - pad, s - pad, 0, 0))
-        km = (
-            k8.reshape(2, s, 2, s, c, self.features)
-            .transpose(0, 2, 1, 3, 4, 5)
-            .reshape(4 * s * s * c, self.features)
-            .astype(self.dtype)
-        )
-        return patches @ km + bias.astype(self.dtype)
+        k8 = k8.astype(self.dtype)
+        acc = None
+        for rc in (0, 1):
+            for ri in range(s):
+                ph = xp[:, ri::s].reshape(b, hp // s, wp // s, s * c)
+                rows = ph[:, rc : rc + ho]
+                for cc in (0, 1):
+                    blk = rows[:, :, cc : cc + wo].astype(self.dtype)
+                    wk = k8[rc * s + ri, cc * s : (cc + 1) * s].reshape(
+                        s * c, self.features)
+                    y = jnp.einsum("bhwk,kf->bhwf", blk, wk,
+                                   preferred_element_type=jnp.float32)
+                    acc = y if acc is None else acc + y
+        return (acc + bias.astype(jnp.float32)).astype(self.dtype)
 
 
 class OverlapPatchEmbed(nn.Module):

@@ -56,7 +56,7 @@ __all__ = ["mit_block_fused", "mit_block_xla"]
 
 
 def _pick_th(h: int, w: int, wp: int, c: int, ch: int, nh: int, dh: int,
-             sp: int, dt_bytes: int, tile_budget: int = 4 << 20,
+             sp: int, dt_bytes: int, tile_budget: int = 6 << 20,
              vmem_limit: int = 16 << 20):
     """Row-tile height: largest divisor of H whose two big f32 per-tile
     buffers ((th+2, wp, S) attention scores and (th+2, wp, Ch) hidden slab)
@@ -153,7 +153,7 @@ def _kernel(x_ref, g1_ref, be1_ref, wq_ref, bq_ref, kt_ref, v_ref, wp_ref,
 def mit_block_fused(x, g1, be1, wq, bq, k, v, wproj, bproj, g2, be2,
                     w1, b1, kdw, bdw, w2, b2, num_heads: int = 1,
                     eps: float = 1e-6, interpret: bool = False,
-                    vmem_budget: int = 4 << 20):
+                    vmem_budget: int = 6 << 20):
     """One MiT block, fused.
 
     x (B, H, W, C); k/v (B, S, C) — the spatial-reduced keys/values per
