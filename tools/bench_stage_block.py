@@ -75,6 +75,14 @@ E2E_CONFIGS = [
     ("fused s2+s3", (None, "fused", "fused", None), None),
     ("fused all + im2col all", "fused", "im2col"),
     ("fused s1-s3 + im2col all", ("fused", "fused", "fused", None), "im2col"),
+    ("fused s1-s3 + im2col s1", ("fused", "fused", "fused", None),
+     ("im2col", None, None, None)),
+    ("fused s2-s4 + im2col s1", (None, "fused", "fused", "fused"),
+     ("im2col", None, None, None)),
+    ("fused s2+s3 both-composed-ends + im2col s1",
+     (None, "fused", "fused", None), ("im2col", None, None, None)),
+    ("fused s2-s4 + im2col s1+s2", (None, "fused", "fused", "fused"),
+     ("im2col", "im2col", None, None)),
 ]
 
 

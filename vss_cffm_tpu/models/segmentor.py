@@ -55,11 +55,20 @@ class SegmentorConfig:
     dwconv_impl: str | None = None
     # backbone patch-embed implementation: None = strided conv; "im2col" =
     # conv-free slices+dense (see models/mit.py:_Im2ColConv); a 4-tuple
-    # selects per stage
-    embed_impl: str | tuple | None = None
+    # selects per stage. Default: im2col at stage 1 only — the measured
+    # end-to-end winner (tools/bench_stage_block.py --e2e, round 4): a conv
+    # HLO at stage 1 makes XLA re-layout the whole 1/4-scale stage around
+    # any fused Pallas block downstream (−90 fps), and row-phase im2col is
+    # within 60 µs of the conv emitter in isolation.
+    embed_impl: str | tuple | None = ("im2col", None, None, None)
     # backbone whole-block fusion at inference: None = composed path;
-    # "fused" = ops/stage_block.py megakernel; a 4-tuple selects per stage
-    block_impl: str | tuple | None = None
+    # "fused" = ops/stage_block.py megakernel; a 4-tuple selects per stage.
+    # Default: fuse stages 2+3 only — per-stage isolation (DEVELOPMENT.md
+    # round-4 table) shows 0.70-0.71× there, a tie at stage 1 (VPU-bound
+    # either way) and a loss at stage 4; end-to-end matrix: 286.6 fps vs
+    # 245.0 composed at B1 480². Inference-only (no VJP) — the dispatch
+    # gates on `deterministic`, so training always takes the composed path.
+    block_impl: str | tuple | None = (None, "fused", "fused", None)
     test_cfg: TestConfig = dataclasses.field(default_factory=TestConfig)
 
     @property
