@@ -93,7 +93,12 @@ def main():
                          "train geometry instead of clip inference")
     ap.add_argument("--probs-f32", action="store_true",
                     help="store the CFM backward softmax-probs residual in "
-                         "f32 instead of the compute dtype (cost probe)")
+                         "f32 (the default since round 4; kept as a no-op "
+                         "probe flag)")
+    ap.add_argument("--probs-compute-dtype", action="store_true",
+                    help="store the CFM backward softmax-probs residual in "
+                         "the compute dtype (bf16 under the bf16 config) "
+                         "instead of the f32 default (cost probe)")
     ap.add_argument("--options", nargs="*", default=[])
     args = ap.parse_args()
     cfg = apply_overrides(load_config(args.config), args.options)
@@ -101,6 +106,10 @@ def main():
         import vss_cffm_tpu.ops.cfm_attention as cfm
 
         cfm._PROBS_DTYPE = jnp.float32
+    if args.probs_compute_dtype:
+        import vss_cffm_tpu.ops.cfm_attention as cfm
+
+        cfm._PROBS_DTYPE = None
     if args.train:
         out = benchmark_train(cfg, iters=min(args.iters, 50), batch=args.batch)
         print(f"train: {out}")

@@ -89,6 +89,10 @@ def main():
     ap.add_argument("--embed-impl", default=None)
     ap.add_argument("--dwconv-impl", default=None)
     ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--train", action="store_true",
+                    help="profile the jitted train step (B=8 480² reference "
+                         "geometry) instead of clip inference")
+    ap.add_argument("--batch", type=int, default=None)
     args = ap.parse_args()
 
     from vss_cffm_tpu.models import CFFMSegmentor, build_model_config
@@ -96,25 +100,61 @@ def main():
 
     enable_compilation_cache()
     cfg = build_model_config(args.variant)
-    cfg = dataclasses.replace(
-        cfg,
-        block_impl=_parse_impl(args.block_impl),
-        embed_impl=_parse_impl(args.embed_impl),
-        dwconv_impl=args.dwconv_impl,
-    )
+    # Absent flags keep the config defaults; "none" forces the composed
+    # path / conv embeds explicitly.
+    overrides = {}
+    for field, raw in (("block_impl", args.block_impl),
+                       ("embed_impl", args.embed_impl),
+                       ("dwconv_impl", args.dwconv_impl)):
+        if raw is not None:
+            overrides[field] = None if raw == "none" else _parse_impl(raw)
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
     model = CFFMSegmentor(cfg, dtype=jnp.bfloat16)
-    imgs = jnp.asarray(np.random.RandomState(0).randn(1, 4, *args.shape, 3),
-                       jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
-    fwd = jax.jit(lambda x: model.apply(variables, x, False))
-    fwd(imgs).block_until_ready()  # compile outside the trace
-
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="vss_prof_")
-    with jax.profiler.trace(trace_dir):
-        y = imgs
-        for _ in range(args.iters):
-            y2 = fwd(imgs)
-        y2.block_until_ready()
+    if args.train:
+        # Profile the jitted train step at the reference B=8 480² geometry.
+        from vss_cffm_tpu.config import load_config
+        from vss_cffm_tpu.train import (TrainState, build_optimizer,
+                                        make_train_step)
+
+        tcfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                        "configs",
+                                        f"cffm_{args.variant}_vspw_160k.py"))
+        b = args.batch or tcfg.data.batch_size
+        h, w = tcfg.data.crop_size
+        rng = np.random.RandomState(0)
+        batch = {
+            "imgs": jnp.asarray(rng.randn(b, 4, h, w, 3), jnp.float32),
+            "labels": jnp.asarray(
+                rng.randint(0, tcfg.model.head.num_classes, (b, 4, h, w)),
+                jnp.int32),
+        }
+        tmodel = CFFMSegmentor(tcfg.model, dtype=jnp.bfloat16)
+        variables = jax.jit(tmodel.init)(jax.random.PRNGKey(0),
+                                         batch["imgs"][:1])
+        tx = build_optimizer(variables["params"], tcfg.optim)
+        state = TrainState.create(variables, tx)
+        step = make_train_step(tmodel, tx)
+        key = jax.random.PRNGKey(1)
+        state, m = step(state, batch, key)  # compile outside the trace
+        float(m["loss_seg"])
+        with jax.profiler.trace(trace_dir):
+            for i in range(args.iters):
+                state, m = step(state, batch, jax.random.fold_in(key, i))
+            float(m["loss_seg"])
+    else:
+        imgs = jnp.asarray(np.random.RandomState(0).randn(1, 4, *args.shape, 3),
+                           jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
+        fwd = jax.jit(lambda x: model.apply(variables, x, False))
+        fwd(imgs).block_until_ready()  # compile outside the trace
+
+        with jax.profiler.trace(trace_dir):
+            y2 = imgs
+            for _ in range(args.iters):
+                y2 = fwd(imgs)
+            y2.block_until_ready()
     agg = aggregate_xspace(trace_dir)
     total = sum(agg.values())
     per_iter = total / max(args.iters, 1)

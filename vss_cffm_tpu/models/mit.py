@@ -556,6 +556,16 @@ class MiT(nn.Module):
                           else cfg.embed_impl)
             block_impl = (cfg.block_impl[s] if isinstance(cfg.block_impl, tuple)
                           else cfg.block_impl)
+            if embed_impl == "im2col" and not deterministic:
+                # im2col exists to keep the *inference* backbone conv-free so
+                # Pallas megakernel custom calls can't poison the layout of
+                # their producer chain. Training takes the composed
+                # (differentiable) block path — no custom calls, no contagion
+                # — and there the conv emitter is strictly faster: the
+                # im2col fwd+bwd partial-matmul fusions measured ~4.7 ms of
+                # the B=8 480² train step (f32[32,120,120,64] ×12 @ 390 µs).
+                # Same param tree either way, so the flip is trace-time only.
+                embed_impl = None
             x = OverlapPatchEmbed(
                 cfg.embed_dims[s],
                 cfg.patch_sizes[s],

@@ -361,14 +361,15 @@ def _cfm_attention_xla(q, ks, vs, bias, mask, nh: int):
 # the correctness oracle for the backward kernel.
 _BWD = "kernel"
 
-# Residual dtype for the saved softmax probabilities. None = q.dtype, i.e.
-# bf16 in the bf16 train config: the backward consumes probs rounded to bf16
-# while the forward used f32 in-VMEM — ≤1% relative gradient error (on-device
-# parity in tools/validate_tpu.py stays within 0.7 abs on O(50) grads, and the
-# attention grads are themselves downstream of bf16 matmuls of similar noise).
-# Set to jnp.float32 to rule the residual out when chasing convergence drift,
-# at 2× the residual HBM write+read.
-_PROBS_DTYPE = None
+# Residual dtype for the saved softmax probabilities. Default f32: the
+# backward then consumes exactly the probabilities the forward computed
+# in-VMEM. Measured cost of the 2× residual HBM write+read at the B=8 480²
+# train geometry: 175.1 → 176.8 ms/step (~1%, tools/benchmark.py --train
+# [--probs-f32], 2026-08-19) — cheap enough to buy back the ~1% relative
+# gradient error the bf16-rounded residual carried (round-2 advisor
+# finding). Set to None to store in q.dtype (bf16 under the bf16 config)
+# when trading gradient fidelity for step time.
+_PROBS_DTYPE = jnp.float32
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
