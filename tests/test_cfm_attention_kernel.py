@@ -33,8 +33,8 @@ def test_pallas_custom_vjp_matches_xla_grad(rng, monkeypatch):
     orig = m._cfm_attention_pallas_impl
     monkeypatch.setattr(
         m, "_cfm_attention_pallas_impl",
-        lambda q, ks, vs, b, mk, nh, interpret=False, with_probs=False:
-            orig(q, ks, vs, b, mk, nh, interpret=True, with_probs=with_probs),
+        lambda q, ks, vs, b, mk, nh, **kw:
+            orig(q, ks, vs, b, mk, nh, **{**kw, "interpret": True}),
     )
     orig_b = m._cfm_attention_bwd_pallas
     monkeypatch.setattr(

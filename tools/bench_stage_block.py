@@ -86,16 +86,25 @@ E2E_CONFIGS = [
 ]
 
 
-def bench_e2e(iters: int, only: str | None = None):
+def bench_e2e(iters: int, only: str | None = None, variant: str = "b1",
+              shape: tuple[int, int] = (480, 480), grouped_kv: bool = False):
     import dataclasses
 
     from vss_cffm_tpu.models import CFFMSegmentor, build_model_config
 
-    imgs = jnp.asarray(np.random.RandomState(0).randn(1, 4, 480, 480, 3),
+    h, w = shape
+    imgs = jnp.asarray(np.random.RandomState(0).randn(1, 4, h, w, 3),
                        jnp.float32)
-    base = build_model_config("b1")
+    base = build_model_config(variant)
+    if grouped_kv:
+        head = dataclasses.replace(
+            base.head,
+            decoder=dataclasses.replace(base.head.decoder,
+                                        infer_kv_layout="grouped"))
+        base = dataclasses.replace(base, head=head)
+    configs = [("shipped default", base.block_impl, base.embed_impl)] + E2E_CONFIGS
     variables = None
-    for label, bi, ei in E2E_CONFIGS:
+    for label, bi, ei in configs:
         if only and only not in label:
             continue
         cfg = dataclasses.replace(base, block_impl=bi, embed_impl=ei)
@@ -113,10 +122,16 @@ if __name__ == "__main__":
     ap.add_argument("--only", default=None, help="substring filter for --e2e")
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--variant", default="b1")
+    ap.add_argument("--shape", type=int, nargs=2, default=(480, 480))
+    ap.add_argument("--grouped-kv", action="store_true",
+                    help="probe: grouped (train-layout) K/V refs for the "
+                         "CFM inference kernel instead of the packed concat")
     args = ap.parse_args()
     enable_compilation_cache()
     print(f"devices: {jax.devices()}")
     if args.e2e:
-        bench_e2e(args.iters, args.only)
+        bench_e2e(args.iters, args.only, args.variant, tuple(args.shape),
+                  args.grouped_kv)
     else:
         bench_stages(args.iters, args.frames)

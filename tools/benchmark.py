@@ -37,6 +37,34 @@ def benchmark_model(cfg, shape=(480, 864), iters=200, warmup=5, train_clip=4, ba
     return batch / dt  # clips (target frames) per second
 
 
+def benchmark_streaming(cfg, shape=(480, 864), iters=100, train_clip=4):
+    """Streaming per-frame steady state: one backbone+decode pass on the new
+    frame plus one CFM pass over the cached clip window — the evaluator's
+    ``run_streaming`` inner loop (``eval/evaluator.py:297``), reference
+    protocol one output frame per step."""
+    from vss_cffm_tpu.utils.benchmark import time_apply_chunked
+
+    model = CFFMSegmentor(cfg.model, dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32)
+    h, w = shape
+    rng = np.random.RandomState(0)
+    frame = jnp.asarray(rng.randn(1, h, w, 3), jnp.float32)
+    imgs = jnp.asarray(rng.randn(1, train_clip, h, w, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
+    dt1 = time_apply_chunked(
+        lambda x: model.apply(variables, x, method=model.frame_features),
+        frame, iters=iters, chunk=min(iters, 50))
+    embed_dim = cfg.model.head.embed_dim
+    fused = jnp.asarray(rng.randn(1, train_clip, h // 4, w // 4, embed_dim),
+                        jnp.bfloat16 if cfg.bf16 else jnp.float32)
+    dt2 = time_apply_chunked(
+        lambda f: model.apply(variables, f, None,
+                              method=model.predict_from_features),
+        fused, iters=iters, chunk=min(iters, 50))
+    return {"frame_features_ms": round(dt1 * 1e3, 3),
+            "predict_ms": round(dt2 * 1e3, 3),
+            "frames_per_sec": round(1 / (dt1 + dt2), 1)}
+
+
 def benchmark_train(cfg, iters=30, warmup=3, batch=None):
     """Train-step throughput at the config's train geometry (VERDICT r3 #2).
 
@@ -91,6 +119,9 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="benchmark the jitted train step at the config's "
                          "train geometry instead of clip inference")
+    ap.add_argument("--streaming", action="store_true",
+                    help="benchmark the streaming per-frame steady state "
+                         "(cached-feature evaluator inner loop)")
     ap.add_argument("--probs-f32", action="store_true",
                     help="store the CFM backward softmax-probs residual in "
                          "f32 (the default since round 4; kept as a no-op "
@@ -113,6 +144,10 @@ def main():
     if args.train:
         out = benchmark_train(cfg, iters=min(args.iters, 50), batch=args.batch)
         print(f"train: {out}")
+        return
+    if args.streaming:
+        out = benchmark_streaming(cfg, tuple(args.shape), min(args.iters, 100))
+        print(f"streaming: {out}")
         return
     fps = benchmark_model(cfg, tuple(args.shape), args.iters,
                           batch=args.batch or 1)

@@ -85,6 +85,8 @@ def load_config(path: str) -> ExperimentConfig:
 
 
 def _coerce(value: str, current: Any) -> Any:
+    if value.lower() in ("none", "null"):
+        return None
     if isinstance(current, bool):
         return value.lower() in ("1", "true", "yes")
     if isinstance(current, int):
@@ -93,7 +95,7 @@ def _coerce(value: str, current: Any) -> Any:
         return float(value)
     if isinstance(current, tuple):
         parts = [p for p in value.strip("()[] ").split(",") if p]
-        elem = current[0] if current else 0
+        elem = next((e for e in current if e is not None), None)
         return tuple(_coerce(p.strip(), elem) for p in parts)
     if current is None:
         return value

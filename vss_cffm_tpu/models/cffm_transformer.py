@@ -67,6 +67,13 @@ class CFFMDecoderConfig:
     drop_path: float = 0.0
     use_checkpoint: bool = False
     norm_eps: float = 1e-5  # torch nn.LayerNorm default
+    # Inference K/V HBM layout for the fused CFM kernel: 'packed' (one XLA
+    # concat feeding a single kernel ref) or 'grouped' (one ref per source
+    # group, the training layout). Which wins is a whole-graph XLA
+    # layout-assignment question — measured end-to-end per variant with
+    # ``tools/bench_stage_block.py --e2e [--grouped-kv]``; per-variant
+    # defaults are set in ``segmentor.build_model_config``.
+    infer_kv_layout: str = "packed"
 
 
 # ---------------------------------------------------------------------------
@@ -546,7 +553,8 @@ class CFFMWindowAttention(nn.Module):
             vs = [vp.reshape(b * n_w, vp.shape[2], c) for vp in v_parts]
             mask_t = jnp.tile(mask, (b, 1))
             out = cfm_attention(q_f, ks, vs, bias, mask_t, nh,
-                                train=not deterministic)
+                                train=not deterministic,
+                                kv_layout=cfg.infer_kv_layout)
             out = out.reshape(b, n_w, area, c)
         else:
             qh = q_win.reshape(b, -1, area, nh, hd).transpose(0, 1, 3, 2, 4)

@@ -372,22 +372,29 @@ _BWD = "kernel"
 _PROBS_DTYPE = jnp.float32
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _cfm_attention_pallas(q, ks, vs, bias, mask, nh: int):
-    # primal (inference): packed K/V layout — see _cfm_attention_pallas_impl
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _cfm_attention_pallas(q, ks, vs, bias, mask, nh: int,
+                          infer_grouped: bool = False):
+    # primal (inference-only path of the VJP): ``infer_grouped`` selects the
+    # K/V HBM layout — False packs the groups with one XLA concat, True
+    # passes grouped refs (the training layout). Which wins is a whole-graph
+    # layout-assignment question, so it is measured end-to-end per variant
+    # (tools/bench_stage_block.py --e2e [--grouped-kv]) and plumbed from
+    # CFFMDecoderConfig.infer_kv_layout.
     return _cfm_attention_pallas_impl(q, tuple(ks), tuple(vs), bias, mask, nh,
-                                      grouped=False)
+                                      grouped=infer_grouped)
 
 
-def _cfm_fwd(q, ks, vs, bias, mask, nh: int):
+def _cfm_fwd(q, ks, vs, bias, mask, nh: int, infer_grouped: bool):
     if _BWD == "kernel":
         out, probs = _cfm_attention_pallas_impl(
             q, tuple(ks), tuple(vs), bias, mask, nh, with_probs=True)
         return out, (q, ks, vs, bias, mask, probs)
-    return _cfm_attention_pallas(q, ks, vs, bias, mask, nh), (q, ks, vs, bias, mask, None)
+    return (_cfm_attention_pallas(q, ks, vs, bias, mask, nh, infer_grouped),
+            (q, ks, vs, bias, mask, None))
 
 
-def _cfm_bwd(nh: int, res, g):
+def _cfm_bwd(nh: int, infer_grouped: bool, res, g):
     q, ks, vs, bias, mask, probs = res
     if probs is not None:
         dq, dks, dvs, dbias = _cfm_attention_bwd_pallas(
@@ -405,25 +412,30 @@ _cfm_attention_pallas.defvjp(_cfm_fwd, _cfm_bwd)
 
 
 def cfm_attention(q, ks, vs, bias, mask, nh: int, force: str | None = None,
-                  train: bool = False):
+                  train: bool = False, kv_layout: str = "packed"):
     """force: None (auto) | 'pallas' | 'xla' | 'interpret'.
 
     Auto policy: the Pallas kernels on TPU for both inference and training —
     the forward saves the softmax probabilities and the backward kernel
     consumes them directly (no recompute/replay); off-TPU uses the XLA
     streaming formulation. ``train`` is accepted for call-site symmetry with
-    ``dwconv3x3`` (both paths are now kernel-served).
+    ``dwconv3x3`` (both paths are now kernel-served). ``kv_layout``
+    ('packed' | 'grouped') selects the inference K/V HBM layout — measured
+    per variant end-to-end; training always uses grouped refs.
     """
+    grouped = kv_layout == "grouped"
     if force == "interpret":
         # exercise the grouped layout (the packed path is the same kernel
         # with a single pre-concatenated group)
         return _cfm_attention_pallas_impl(q, tuple(ks), tuple(vs), bias, mask,
                                           nh, interpret=True)
     if force == "pallas":
-        return _cfm_attention_pallas(q, tuple(ks), tuple(vs), bias, mask, nh)
+        return _cfm_attention_pallas(q, tuple(ks), tuple(vs), bias, mask, nh,
+                                     grouped)
     if force == "xla":
         return _cfm_attention_xla(q, ks, vs, bias, mask, nh)
     platform = jax.devices()[0].platform
     if platform in ("tpu", "axon"):
-        return _cfm_attention_pallas(q, tuple(ks), tuple(vs), bias, mask, nh)
+        return _cfm_attention_pallas(q, tuple(ks), tuple(vs), bias, mask, nh,
+                                     grouped)
     return _cfm_attention_xla(q, ks, vs, bias, mask, nh)
