@@ -25,6 +25,29 @@ def test_pallas_interpret_matches_xla(rng, nw):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_packed_and_grouped_layouts_agree(rng):
+    """The inference K/V layouts ('packed' concat vs grouped refs) are the
+    same kernel fed differently — outputs must match bit-for-bit math-wise
+    (both reduce in f32)."""
+    from vss_cffm_tpu.ops.cfm_attention import _cfm_attention_pallas_impl
+
+    nw, nh, hd, area = 4, 2, 16, 49
+    c = nh * hd
+    gsizes = [49, 132, 25]
+    q = jnp.asarray(rng.randn(nw, area, c).astype(np.float32))
+    ks = tuple(jnp.asarray(rng.randn(nw, g, c).astype(np.float32)) for g in gsizes)
+    vs = tuple(jnp.asarray(rng.randn(nw, g, c).astype(np.float32)) for g in gsizes)
+    bias = jnp.asarray(rng.randn(nh, area, sum(gsizes)).astype(np.float32))
+    mask = jnp.asarray(
+        np.where(rng.rand(nw, sum(gsizes)) < 0.1, -100.0, 0.0).astype(np.float32))
+    grouped = _cfm_attention_pallas_impl(q, ks, vs, bias, mask, nh,
+                                         interpret=True, grouped=True)
+    packed = _cfm_attention_pallas_impl(q, ks, vs, bias, mask, nh,
+                                        interpret=True, grouped=False)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(grouped),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_pallas_custom_vjp_matches_xla_grad(rng, monkeypatch):
     """The Pallas path's custom_vjp must produce the XLA formulation's grads."""
     import jax
