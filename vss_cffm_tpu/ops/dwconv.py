@@ -31,16 +31,25 @@ def _largest_divisor(n: int, cap: int) -> int:
     return 1
 
 
+# erf(z) = tanh(z·P(z²)): weighted-least-squares fit of atanh(erf(z))/z in
+# z² over [0, 3.94], error equalized in the erf domain by a (1−erf²) weight.
+# Max abs err 6.6e-8 over [0, ∞) — tighter than the Abramowitz–Stegun 7.1.26
+# rational (1.5e-7) this replaced, and ~2.5× cheaper on the VPU: Horner FMAs
+# plus one tanh, no divide and no exp (Mosaic has no native erf lowering; at
+# bf16 both forms produce identical GELU bits except the same 117 deep-tail
+# |x|>4.2 values where gelu(x)≈1e-5 — measured over all finite bf16 inputs).
+_ERF_C = (1.1283797283039090e+00, 1.0276506824633368e-01,
+          -1.8315513884083339e-04, -6.2696684114875293e-04,
+          9.0239133545320826e-05, -6.0798218901600598e-06,
+          1.6477469166030436e-07)
+
+
 def _erf(x):
-    """Abramowitz–Stegun 7.1.26 rational erf (max err 1.5e-7 — exact at bf16;
-    Mosaic has no native erf/erfc lowering)."""
-    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
-    p = 0.3275911
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
+    u = x * x
+    p = jnp.full_like(x, _ERF_C[-1])
+    for c in _ERF_C[-2::-1]:
+        p = p * u + c
+    return jnp.tanh(x * p)
 
 
 def _gelu_exact(x):
