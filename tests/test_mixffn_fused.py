@@ -106,3 +106,74 @@ def test_param_tree_unchanged(rng):
     assert p["dwconv"]["bias"].shape == (64,)
     assert p["fc2"]["kernel"].shape == (64, 16)
     assert p["fc2"]["bias"].shape == (16,)
+
+
+@pytest.mark.parametrize("shape,ch,scales", [
+    ((2, 12, 10, 16), 64, (1.0, 1.25)),   # uneven W (halo masking) + scale
+    ((2, 8, 8, 32), 128, (0.0, 2.0)),     # dropped sample + 1/keep scale
+])
+def test_block_ffn_train_grads(rng, shape, ch, scales):
+    """Differentiable fused block-FFN (interpret): forward AND all nine
+    gradients vs jax.grad through the identical-math XLA composition."""
+    from vss_cffm_tpu.ops.mixffn import block_ffn_train, block_ffn_train_xla
+
+    c = shape[-1]
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    gamma = jnp.asarray(1.0 + 0.1 * rng.randn(c).astype(np.float32))
+    beta = jnp.asarray(0.1 * rng.randn(c).astype(np.float32))
+    params = _params(rng, c, ch)
+    scale = jnp.asarray(scales, jnp.float32)
+
+    args = (x, gamma, beta, *params, scale)
+    out_k = block_ffn_train(*args, 1e-6, True)
+    out_o = block_ffn_train_xla(*args, 1e-6)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_o),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_k(*a):
+        return jnp.sum(jnp.sin(block_ffn_train(*a, 1e-6, True)))
+
+    def loss_o(*a):
+        return jnp.sum(jnp.sin(block_ffn_train_xla(*a, 1e-6)))
+
+    gk = jax.grad(loss_k, argnums=tuple(range(9)))(*args)
+    go = jax.grad(loss_o, argnums=tuple(range(9)))(*args)
+    for name, a, b in zip(
+            ["dx", "dgamma", "dbeta", "dw1", "db1", "dkdw", "dbdw", "dw2",
+             "db2"], gk, go):
+        scl = float(jnp.max(jnp.abs(b))) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=3e-5 * scl,
+            err_msg=f"{name} gradient mismatch")
+
+
+def test_mit_block_train_ffn_matches_composed(rng):
+    """MiTBlock with train_block_impl='ffn-interpret' (training path) ≡ the
+    composed training block on the same params, values and gradients (f32,
+    drop_path 0 so the paths are deterministic)."""
+    from vss_cffm_tpu.models.mit import MiTBlock
+
+    x = jnp.asarray(rng.randn(2, 8, 8, 32).astype(np.float32))
+
+    def build(impl):
+        return MiTBlock(dim=32, num_heads=2, sr_ratio=2, mlp_ratio=4,
+                        qkv_bias=True, drop=0.0, attn_drop=0.0,
+                        drop_path_rate=0.0, norm_eps=1e-6,
+                        train_block_impl=impl)
+
+    ref = build(None)
+    fused = build("ffn-interpret")
+    params = ref.init(jax.random.PRNGKey(0), x, False)
+
+    def loss(mod, p):
+        return jnp.sum(jnp.cos(mod.apply(p, x, False)))
+
+    v_ref, g_ref = jax.value_and_grad(lambda p: loss(ref, p))(params)
+    v_fused, g_fused = jax.value_and_grad(lambda p: loss(fused, p))(params)
+    np.testing.assert_allclose(float(v_fused), float(v_ref), rtol=1e-5)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_f, _ = jax.tree_util.tree_flatten(g_fused)
+    for a, b in zip(flat_f, flat_r):
+        scl = float(jnp.max(jnp.abs(b))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=3e-5 * scl)

@@ -95,6 +95,13 @@ class MiTConfig:
     # C ≥ 128 lanes (stages 2+) and loses at stage 1's C=64 half-lane
     # geometry, so (None, "fused", "fused", "fused") is the fast set.
     block_impl: str | tuple | None = None
+    # TRAINING-path block fusion: "ffn" serves x + s·FFN(LN2(x)) per block
+    # from the differentiable Pallas pair (ops/mixffn.block_ffn_train:
+    # megakernel forward + recompute-from-x backward emitting dx and all
+    # parameter grads); the attention half stays composed. "ffn-interpret"
+    # for CPU tests. A 4-tuple selects per stage. None = all-XLA training
+    # (the shifts-cvjp dwconv path).
+    train_block_impl: str | tuple | None = None
 
 
 # Reference variant table (``mix_transformer.py:373-424``).
@@ -447,6 +454,7 @@ class MiTBlock(nn.Module):
     norm_eps: float
     dwconv_impl: str | None = None
     block_impl: str | None = None
+    train_block_impl: str | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -517,6 +525,35 @@ class MiTBlock(nn.Module):
         x = x + h
         mlp = MixFFN(self.dim, int(self.dim * self.mlp_ratio), self.drop,
                      self.dwconv_impl, self.dtype, name="mlp")
+        hidden = int(self.dim * self.mlp_ratio)
+        use_train_ffn = (
+            self.train_block_impl in ("ffn", "ffn-interpret")
+            and not deterministic and self.drop == 0.0
+            and (self.train_block_impl == "ffn-interpret"
+                 or jax.devices()[0].platform in ("tpu", "axon"))
+        )
+        if use_train_ffn:
+            from ..ops.mixffn import block_ffn_train, block_ffn_train_fits
+
+            if block_ffn_train_fits(x.shape[1], x.shape[2], self.dim, hidden,
+                                    jnp.dtype(self.dtype).itemsize):
+                # x + s·FFN(LN2(x)) as one differentiable Pallas pair; the
+                # per-sample branch scale s reproduces drop_path exactly
+                # (Bernoulli(keep)/keep), consumed from the same rng stream.
+                scale2 = _LNParams(self.dim, name="norm2")()
+                k1, b1, kdw, bdw, k2, b2 = mlp(x, deterministic,
+                                               params_only=True)
+                if self.drop_path_rate > 0.0:
+                    keep = 1.0 - self.drop_path_rate
+                    mask = jax.random.bernoulli(
+                        self.make_rng("droppath"), keep, (x.shape[0],))
+                    bscale = mask.astype(jnp.float32) / keep
+                else:
+                    bscale = jnp.ones((x.shape[0],), jnp.float32)
+                return block_ffn_train(
+                    x.astype(self.dtype), scale2[0], scale2[1], k1, b1, kdw,
+                    bdw, k2, b2, bscale, self.norm_eps,
+                    self.train_block_impl == "ffn-interpret")
         use_fused = (
             self.dwconv_impl in ("fused", "fused-interpret")
             and deterministic and self.drop == 0.0
@@ -556,7 +593,16 @@ class MiT(nn.Module):
                           else cfg.embed_impl)
             block_impl = (cfg.block_impl[s] if isinstance(cfg.block_impl, tuple)
                           else cfg.block_impl)
-            if embed_impl == "im2col" and not deterministic:
+            train_block_impl = (
+                cfg.train_block_impl[s]
+                if isinstance(cfg.train_block_impl, tuple)
+                else cfg.train_block_impl)
+            if embed_impl == "im2col-always":
+                # training-path experiment knob: keep the im2col embed in
+                # BOTH modes (e.g. to starve XLA's layout assignment of conv
+                # producers around the train-path Pallas kernels)
+                embed_impl = "im2col"
+            elif embed_impl == "im2col" and not deterministic:
                 # im2col exists to keep the *inference* backbone conv-free so
                 # Pallas megakernel custom calls can't poison the layout of
                 # their producer chain. Training takes the composed
@@ -587,6 +633,7 @@ class MiT(nn.Module):
                     norm_eps=cfg.norm_eps,
                     dwconv_impl=cfg.dwconv_impl,
                     block_impl=block_impl,
+                    train_block_impl=train_block_impl,
                     dtype=self.dtype,
                     name=f"block{s + 1}_{i}",
                 )(x, deterministic)

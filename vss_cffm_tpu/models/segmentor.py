@@ -69,6 +69,10 @@ class SegmentorConfig:
     # 245.0 composed at B1 480². Inference-only (no VJP) — the dispatch
     # gates on `deterministic`, so training always takes the composed path.
     block_impl: str | tuple | None = (None, "fused", "fused", None)
+    # TRAINING-path block-FFN fusion (ops/mixffn.block_ffn_train): serves
+    # x + s·FFN(LN2(x)) from a differentiable Pallas pair. None = all-XLA
+    # training; "ffn" / 4-tuple per stage.
+    train_block_impl: str | tuple | None = None
     test_cfg: TestConfig = dataclasses.field(default_factory=TestConfig)
 
     @property
@@ -76,7 +80,8 @@ class SegmentorConfig:
         return dataclasses.replace(MIT_VARIANTS[self.backbone],
                                    dwconv_impl=self.dwconv_impl,
                                    embed_impl=self.embed_impl,
-                                   block_impl=self.block_impl)
+                                   block_impl=self.block_impl,
+                                   train_block_impl=self.train_block_impl)
 
 
 def build_segmentor(config: "SegmentorConfig", dtype=jnp.float32):
@@ -95,12 +100,19 @@ def build_model_config(variant: str = "b1", num_classes: int = 124, num_clips: i
     depths = {"b0": 1, "b1": 2, "b2": 2, "b5": 4}[variant]
     backbone = f"mit_{variant}"
     in_channels = tuple(MIT_VARIANTS[backbone].embed_dims)
+    # Inference K/V layout for the fused CFM kernel is a whole-graph XLA
+    # layout question and flips per variant — measured end-to-end at the
+    # deployed 480×864 geometry (DEVELOPMENT.md "CFM inference K/V layout"):
+    # B0 grouped 217.4 vs packed 196.5 fps; B1 packed 133.1 vs 127.7.
+    kv_layout = {"b0": "grouped", "b1": "packed", "b2": "packed",
+                 "b5": "packed"}[variant]
     head = CFFMHeadConfig(
         in_channels=in_channels,
         embed_dim=256,
         num_classes=num_classes,
         num_clips=num_clips,
-        decoder=CFFMDecoderConfig(dim=256, depth=depths),
+        decoder=CFFMDecoderConfig(dim=256, depth=depths,
+                                  infer_kv_layout=kv_layout),
         mode=mode,
     )
     return SegmentorConfig(backbone=backbone, head=head)

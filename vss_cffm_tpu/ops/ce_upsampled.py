@@ -604,6 +604,319 @@ def _ce_bwd_loss_pallas(logits, labels_ph, ct, s: int, c: int, img_w: float,
     return out[..., :c]
 
 
+# ---------------------------------------------------------------------------
+# v3: layout-aligned loss kernels
+# ---------------------------------------------------------------------------
+#
+# The v2 kernels above are algorithmically right (nothing pixel-sized touches
+# HBM) but were measured at 30 ms fwd+bwd of the B=8 480² train step — ~8×
+# their op-count roofline (round-5 profile). Two Mosaic pathologies explain
+# it, both per phase × per program:
+#   (a) every (ch, w)-shaped value (labels, lse, picked, masks, accumulators)
+#       is rank-2 with w in LANES, while the (ch, w, Cp) class math keeps w
+#       in SUBLANES — each `safe[..., None] == iota_c` / `gv[..., None] * t`
+#       broadcast is a full w↔lane relayout (per-element shuffles);
+#   (b) `_shift_w` builds shifted maps with misaligned sublane slice+concat
+#       copies — the exact pattern the dwconv kernel notes call out as
+#       "forced misaligned retiling" (its fix, `pltpu.roll`, is ~free).
+# v3 keeps EVERYTHING rank-3 with w in sublanes (labels arrive w-major as
+# (N, h, w, s²) so a phase slice is a lane pick, reductions keep dims, the
+# partial-sum outputs are (N, h, w, 1) blocks), and does the W shifts as
+# sublane rolls with iota-select edge fixes. Same math to the last ulp:
+# the phase/select/lse structure is untouched.
+
+
+def labels_to_phase_w(labels: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(N, H, W) → (N, h, w, s·s), phase = ph·s + pw (w-major twin of
+    ``labels_to_phase``: [n, k, v, ph·s+pw] = labels[n, s·k+ph, s·v+pw])."""
+    n, hh, ww = labels.shape
+    h, w = hh // s, ww // s
+    x = labels.reshape(n, h, s, w, s)
+    return x.transpose(0, 1, 3, 2, 4).reshape(n, h, w, s * s)
+
+
+def _sl_shift(x, down: bool):
+    """Edge-replicated shift along sublane axis 1 of rank-3 x (f32).
+
+    down: out[:, v] = x[:, v−1] (edge v=0 keeps x[:, 0]); else out[:, v] =
+    x[:, v+1] (edge v=n−1 keeps x[:, n−1]). ``pltpu.roll`` + iota select —
+    never a misaligned sublane slice."""
+    n = x.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    if down:
+        return jnp.where(row == 0, x, pltpu.roll(x, 1, 1))
+    return jnp.where(row == n - 1, x, pltpu.roll(x, n - 1, 1))
+
+
+def _sl_shift_zero(x, down: bool):
+    """Zero-filled sublane shift (transpose of ``_sl_shift`` minus edges)."""
+    n = x.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    if down:
+        return jnp.where(row == 0, 0.0, pltpu.roll(x, 1, 1))
+    return jnp.where(row == n - 1, 0.0, pltpu.roll(x, n - 1, 1))
+
+
+def _phase_coeff_dyn(p, s: int):
+    """(δ, f) of ``_phase_coeffs`` from a *traced* phase index (loop var)."""
+    d = (p.astype(jnp.float32) + 0.5) / s - 0.5
+    delta = jnp.where(d < 0.0, -1, 0)
+    return delta, d - delta.astype(jnp.float32)
+
+
+def _lane_pick(x3, idx, width: int):
+    """(r, w, L) → (r, w, 1): lane ``idx`` (traced scalar) via masked reduce —
+    dynamic lane slicing is not lane-aligned, a 16-lane masked sum is free."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x3.shape, 2)
+    return jnp.sum(jnp.where(lane == idx, x3, 0), axis=-1, keepdims=True)
+
+
+def _fwd_loss_kernel3(prev_ref, cur_ref, next_ref, lbl_ref, wsum_ref, corr_ref,
+                      *, s: int, ch: int, num_classes: int, img_w: float,
+                      count_acc: bool):
+    """Phases run as nested ``fori_loop``s (uniform coefficient arithmetic
+    from the loop index) so one phase's temporaries are reused by the next —
+    the fully-unrolled v2 form kept ~16 phase live-sets on the Mosaic stack,
+    capping the row chunk at 4 and the occupancy with it."""
+    i = pl.program_id(1)
+    g = pl.num_programs(1)
+
+    cur = cur_ref[0].astype(jnp.float32)  # (ch, w, Cp)
+    xm1 = jnp.where(i > 0, prev_ref[0, ch - 1].astype(jnp.float32), cur[0])
+    xp1 = jnp.where(i < g - 1, next_ref[0, 0].astype(jnp.float32), cur[ch - 1])
+    ext = jnp.concatenate([xm1[None], cur, xp1[None]], axis=0)  # (ch+2, w, Cp)
+
+    cp = ext.shape[-1]
+    wlen = ext.shape[1]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (ch, wlen, cp), 2)
+    lbl_all = lbl_ref[0].astype(jnp.int32)  # (ch, w, s²)
+
+    def w_body(pw, carry):
+        tot, cor, xh, xh_l, xh_r, ph = carry
+        dw, fw = _phase_coeff_dyn(pw, s)
+        neg = dw < 0
+        wl = jnp.where(neg, 1.0 - fw, 0.0)
+        wm = jnp.where(neg, fw, 1.0 - fw)
+        wr = jnp.where(neg, 0.0, fw)
+        up = xh_l * wl + xh * wm + xh_r * wr
+        m = jnp.max(up, axis=-1, keepdims=True)  # (ch, w, 1)
+        e = jnp.exp(up - m)
+        lse = m + jnp.log(jnp.sum(e, axis=-1, keepdims=True))
+        lbl = _lane_pick(lbl_all, ph * s + pw, s * s)  # (ch, w, 1)
+        valid = (lbl >= 0) & (lbl < num_classes)
+        safe = jnp.where(valid, lbl, 0)
+        picked = jnp.sum(jnp.where(iota_c == safe, up, 0.0), axis=-1,
+                         keepdims=True)
+        tot = tot + jnp.where(valid, lse - picked, 0.0)
+        if count_acc:
+            cor = cor + jnp.where(valid & (picked == m), 1.0, 0.0)
+        return tot, cor, xh, xh_l, xh_r, ph
+
+    def h_body(ph, carry):
+        tot, cor = carry
+        dh, fh = _phase_coeff_dyn(ph, s)
+        lo = jax.lax.dynamic_slice_in_dim(ext, 1 + dh, ch, axis=0)
+        hi = jax.lax.dynamic_slice_in_dim(ext, 2 + dh, ch, axis=0)
+        xh = lo * (1.0 - fh) + hi * fh  # (ch, w, Cp)
+        xh_l = _sl_shift(xh, down=True)
+        xh_r = _sl_shift(xh, down=False)
+        tot, cor, *_ = jax.lax.fori_loop(
+            0, s, w_body, (tot, cor, xh, xh_l, xh_r, ph))
+        return tot, cor
+
+    tot = jnp.zeros((ch, wlen, 1), jnp.float32)
+    cor = jnp.zeros((ch, wlen, 1), jnp.float32)
+    tot, cor = jax.lax.fori_loop(0, s, h_body, (tot, cor))
+    wsum_ref[0] = tot * img_w
+    corr_ref[0] = cor
+
+
+@functools.partial(jax.jit, static_argnames=("s", "img_w", "count_acc", "ch",
+                                             "interpret"))
+def _ce_fwd_loss_pallas3(logits, labels_phw, s: int, img_w: float,
+                         count_acc: bool = True, ch: int = 8,
+                         interpret: bool = False):
+    """labels_phw is the w-major phase layout (N, h, w, s²) — see
+    ``labels_to_phase_w``. Returns (weighted-sum, correct-count) scalars."""
+    n, h, w, c = logits.shape
+    cp = -(-c // 128) * 128
+    if cp != c:
+        logits = jnp.pad(logits, ((0, 0),) * 3 + ((0, cp - c),),
+                         constant_values=_NEG)
+    while ch > 1 and h % ch:
+        ch -= 1
+    grid = (n, h // ch)
+    g = h // ch
+    view = lambda fix: pl.BlockSpec((1, ch, w, cp), fix, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, ch, w, 1), lambda ni, i: (ni, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    wsum, corr = pl.pallas_call(
+        functools.partial(_fwd_loss_kernel3, s=s, ch=ch, num_classes=c,
+                          img_w=img_w, count_acc=count_acc),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h, w, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, h, w, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            view(lambda ni, i: (ni, jnp.maximum(i - 1, 0), 0, 0)),
+            view(lambda ni, i: (ni, i, 0, 0)),
+            view(lambda ni, i, g=g: (ni, jnp.minimum(i + 1, g - 1), 0, 0)),
+            pl.BlockSpec((1, ch, w, s * s), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec),
+        interpret=interpret,
+    )(logits, logits, logits, labels_phw)
+    return jnp.sum(wsum), jnp.sum(corr)
+
+
+def _bwd_loss_kernel3(xprev_ref, xcur_ref, xnext_ref,
+                      lprev_ref, lcur_ref, lnext_ref, ct_ref,
+                      dx_ref, *, s: int, ch: int, num_classes: int,
+                      img_w: float):
+    """Layout-aligned twin of ``_bwd_loss_kernel``: labels/cotangent masks are
+    (he, w, 1) rank-3 (w in sublanes throughout), W-transpose shifts are
+    sublane rolls."""
+    i = pl.program_id(1)
+    g = pl.num_programs(1)
+    ct = ct_ref[0, 0] * img_w
+
+    xcur = xcur_ref[0].astype(jnp.float32)  # (ch, w, Cp)
+    first = i == 0
+    last = i == g - 1
+    xm2 = jnp.where(i > 0, xprev_ref[0, 0].astype(jnp.float32), xcur[0])
+    xm1 = jnp.where(i > 0, xprev_ref[0, 1].astype(jnp.float32), xcur[0])
+    xp1 = jnp.where(i < g - 1, xnext_ref[0, 0].astype(jnp.float32), xcur[ch - 1])
+    xp2 = jnp.where(i < g - 1, xnext_ref[0, 1].astype(jnp.float32), xcur[ch - 1])
+    xe = jnp.concatenate([xm2[None], xm1[None], xcur, xp1[None], xp2[None]], 0)
+
+    cp = xe.shape[-1]
+    wlen = xe.shape[1]
+    he = ch + 2
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (he, wlen, cp), 2)
+    # (he, w, s²) label halo: 1-row slivers + current block, all rank-3 —
+    # built once, phase-sliced by masked lane reduce inside the loop
+    ltop = jnp.where(i > 0, lprev_ref[0, 0], lcur_ref[0, 0])
+    lbot = jnp.where(i < g - 1, lnext_ref[0, 0], lcur_ref[0, ch - 1])
+    lbl_halo = jnp.concatenate([ltop[None], lcur_ref[0], lbot[None]],
+                               0).astype(jnp.int32)
+
+    def w_body(pw, carry):
+        dxh, xh, xh_l, xh_r, ph = carry
+        dw, fw = _phase_coeff_dyn(pw, s)
+        neg = dw < 0
+        wl = jnp.where(neg, 1.0 - fw, 0.0)
+        wm = jnp.where(neg, fw, 1.0 - fw)
+        wr = jnp.where(neg, 0.0, fw)
+        up = xh_l * wl + xh * wm + xh_r * wr
+
+        lbl = _lane_pick(lbl_halo, ph * s + pw, s * s)  # (he, w, 1)
+        valid = (lbl >= 0) & (lbl < num_classes)
+        safe = jnp.where(valid, lbl, 0)
+        gv = jnp.where(valid, ct, 0.0)  # (he, w, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, gv.shape, 0)
+        gv = jnp.where(first & (row == 0), 0.0, gv)
+        gv = jnp.where(last & (row == he - 1), 0.0, gv)
+
+        m = jnp.max(up, axis=-1, keepdims=True)
+        e = jnp.exp(up - m)
+        sm = e / jnp.sum(e, axis=-1, keepdims=True)
+        onehot = (iota_c == safe).astype(jnp.float32)
+        t = gv * (sm - onehot)  # (he, w, Cp)
+
+        # transpose of the W comb, uniform over the two δ cases
+        # (δ<0: (1−f)·t[v+1] + f·t[v], col-0 edge fold of weight 1−f;
+        #  δ≥0: (1−f)·t[v] + f·t[v−1], col-(w−1) edge fold of weight f)
+        # — same (wl, wm, wr) scalars as the forward comb, applied to the
+        # transposed shift directions
+        col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        up_sh = _sl_shift_zero(t, down=False)   # t[v+1]
+        dn_sh = _sl_shift_zero(t, down=True)    # t[v−1]
+        dW = up_sh * wl + t * wm + dn_sh * wr
+        dW = dW + jnp.where(col == 0, wl * t, 0.0)
+        dW = dW + jnp.where(col == wlen - 1, wr * t, 0.0)
+        return dxh + dW, xh, xh_l, xh_r, ph
+
+    def h_body(ph, dx):
+        dh, fh = _phase_coeff_dyn(ph, s)
+        lo = jax.lax.dynamic_slice_in_dim(xe, 1 + dh, he, axis=0)
+        hi = jax.lax.dynamic_slice_in_dim(xe, 2 + dh, he, axis=0)
+        xh = lo * (1.0 - fh) + hi * fh
+        xh_l = _sl_shift(xh, down=True)
+        xh_r = _sl_shift(xh, down=False)
+        dxh = jnp.zeros((he, wlen, cp), jnp.float32)
+        dxh, *_ = jax.lax.fori_loop(0, s, w_body, (dxh, xh, xh_l, xh_r, ph))
+        a = jax.lax.dynamic_slice_in_dim(dxh, 1 - dh, ch, axis=0)
+        b = jax.lax.dynamic_slice_in_dim(dxh, -dh, ch, axis=0)
+        contrib = a * (1.0 - fh) + b * fh
+        rowc = jax.lax.broadcasted_iota(jnp.int32, contrib.shape, 0)
+        neg_h = dh < 0
+        contrib = contrib + jnp.where(
+            neg_h & first & (rowc == 0), (1.0 - fh) * dxh[1][None], 0.0)
+        contrib = contrib + jnp.where(
+            (~neg_h) & last & (rowc == ch - 1), fh * dxh[ch][None], 0.0)
+        return dx + contrib
+
+    dx = jnp.zeros((ch, wlen, cp), jnp.float32)
+    dx = jax.lax.fori_loop(0, s, h_body, dx)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "c", "img_w", "ch",
+                                             "interpret"))
+def _ce_bwd_loss_pallas3(logits, labels_phw, ct, s: int, c: int, img_w: float,
+                         ch: int = 8, interpret: bool = False):
+    n, h, w, _ = logits.shape
+    cp = -(-c // 128) * 128
+    if cp != c:
+        logits = jnp.pad(logits, ((0, 0),) * 3 + ((0, cp - c),),
+                         constant_values=_NEG)
+    while ch > 1 and (h % ch or ch % 2):
+        ch -= 1
+    assert ch >= 2, "backward kernel needs an even row-chunk divisor of h"
+    grid = (n, h // ch)
+    g = h // ch
+    h2 = h // 2
+    xcurv = pl.BlockSpec((1, ch, w, cp), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    xprevv = pl.BlockSpec(
+        (1, 2, w, cp),
+        lambda ni, i, ch=ch: (ni, jnp.maximum(i * (ch // 2) - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    xnextv = pl.BlockSpec(
+        (1, 2, w, cp),
+        lambda ni, i, ch=ch, h2=h2: (ni, jnp.minimum((i + 1) * (ch // 2), h2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    pcurv = pl.BlockSpec((1, ch, w, s * s), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    pprevv = pl.BlockSpec(
+        (1, 1, w, s * s),
+        lambda ni, i, ch=ch: (ni, jnp.maximum(i * ch - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    pnextv = pl.BlockSpec(
+        (1, 1, w, s * s),
+        lambda ni, i, ch=ch, h=h: (ni, jnp.minimum((i + 1) * ch, h - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_bwd_loss_kernel3, s=s, ch=ch, num_classes=c,
+                          img_w=img_w),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            xprevv, xcurv, xnextv,
+            pprevv, pcurv, pnextv,
+            pl.BlockSpec((1, 1), lambda ni, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ch, w, cp), lambda ni, i: (ni, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(logits, logits, logits,
+      labels_phw, labels_phw, labels_phw,
+      ct.astype(jnp.float32).reshape(1, 1))
+    return out[..., :c]
+
+
 def ce_upsampled_loss_xla(logits, labels_ph, s: int, img_w: float,
                           count_acc: bool = True):
     """Identical-math XLA composition of ``ce_upsampled_loss`` (oracle /
@@ -628,25 +941,33 @@ def ce_upsampled_loss(logits, labels_ph, s: int, img_w: float,
     for the per-frame branch of the clip loss) baked into the kernel.
     Differentiable wrt ``logits`` only; the correct-count output carries no
     gradient (it is a logging metric, zero a.e. anyway).
+
+    Served by the v3 layout-aligned kernels (the phase-major labels are
+    swapped to w-major XLA-side — a u8 copy that fuses with the phase
+    transpose producing them).
     """
-    return _ce_fwd_loss_pallas(logits, labels_ph, s, img_w, count_acc,
-                               interpret=_INTERPRET)
+    lphw = jnp.swapaxes(labels_ph, 2, 3)
+    return _ce_fwd_loss_pallas3(logits, lphw, s, img_w, count_acc,
+                                interpret=_INTERPRET)
 
 
 def _ce_loss_fwd(logits, labels_ph, s: int, img_w: float, count_acc: bool):
-    out = _ce_fwd_loss_pallas(logits, labels_ph, s, img_w, count_acc,
-                              interpret=_INTERPRET)
-    return out, (logits, labels_ph)
+    lphw = jnp.swapaxes(labels_ph, 2, 3)
+    out = _ce_fwd_loss_pallas3(logits, lphw, s, img_w, count_acc,
+                               interpret=_INTERPRET)
+    return out, (logits, lphw)
 
 
 def _ce_loss_bwd(s: int, img_w: float, count_acc: bool, res, cts):
-    logits, labels_ph = res
+    logits, lphw = res
     g_wsum, _ = cts  # correct-count output: no gradient path
-    dlogits = _ce_bwd_loss_pallas(logits, labels_ph, g_wsum, s,
-                                  logits.shape[-1], img_w,
-                                  interpret=_INTERPRET)
+    dlogits = _ce_bwd_loss_pallas3(logits, lphw, g_wsum, s,
+                                   logits.shape[-1], img_w,
+                                   interpret=_INTERPRET)
     return (dlogits.astype(logits.dtype),
-            np.zeros(labels_ph.shape, dtype=jax.dtypes.float0))
+            np.zeros((logits.shape[0],) + lphw.shape[1:2]
+                     + (lphw.shape[3], lphw.shape[2]),
+                     dtype=jax.dtypes.float0))
 
 
 ce_upsampled_loss.defvjp(_ce_loss_fwd, _ce_loss_bwd)

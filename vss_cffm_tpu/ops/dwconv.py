@@ -36,8 +36,10 @@ def _largest_divisor(n: int, cap: int) -> int:
 # Max abs err 6.6e-8 over [0, ∞) — tighter than the Abramowitz–Stegun 7.1.26
 # rational (1.5e-7) this replaced, and ~2.5× cheaper on the VPU: Horner FMAs
 # plus one tanh, no divide and no exp (Mosaic has no native erf lowering; at
-# bf16 both forms produce identical GELU bits except the same 117 deep-tail
-# |x|>4.2 values where gelu(x)≈1e-5 — measured over all finite bf16 inputs).
+# bf16 the two forms agree to within ~1 ulp over all finite inputs — both
+# show the same 117 mismatches vs exact erf-GELU, all deep-tail values where
+# gelu(x)≈1e-5; the exact onset of the 1-ulp differences depends on the
+# platform's tanh/exp transcendentals).
 _ERF_C = (1.1283797283039090e+00, 1.0276506824633368e-01,
           -1.8315513884083339e-04, -6.2696684114875293e-04,
           9.0239133545320826e-05, -6.0798218901600598e-06,

@@ -41,9 +41,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dwconv import _gelu_exact
+from .dwconv import _erf, _gelu_exact
 
-__all__ = ["mixffn_fused", "mixffn_xla", "block_ffn_fused", "block_ffn_xla"]
+__all__ = ["mixffn_fused", "mixffn_xla", "block_ffn_fused", "block_ffn_xla",
+           "block_ffn_train", "block_ffn_train_xla", "block_ffn_train_fits"]
 
 
 def _pick_th(h: int, wp: int, ch: int, budget_bytes: int = 4 << 20) -> int:
@@ -102,12 +103,19 @@ def _kernel(x_ref, w1_ref, b1_ref, wk_ref, bdw_ref, w2_ref, b2_ref, o_ref,
 
 
 def _kernel_ln(x_ref, g_ref, be_ref, w1_ref, b1_ref, wk_ref, bdw_ref, w2_ref,
-               b2_ref, o_ref, *, th: int, h: int, w: int, eps: float):
-    """``out = x + FFN(LN(x))`` per (batch, row tile) — the whole second half
-    of a MiT block in one VMEM-resident pass. Same structure as ``_kernel``
-    with the pre-FFN LayerNorm computed in-register (f32 stats over C) and
-    the residual added before the write, so the LN'd map and the FFN output
-    never touch HBM."""
+               b2_ref, *rest, th: int, h: int, w: int, eps: float,
+               with_scale: bool = False):
+    """``out = x + s·FFN(LN(x))`` per (batch, row tile) — the whole second
+    half of a MiT block in one VMEM-resident pass. Same structure as
+    ``_kernel`` with the pre-FFN LayerNorm computed in-register (f32 stats
+    over C) and the residual added before the write, so the LN'd map and the
+    FFN output never touch HBM. ``with_scale`` threads a per-sample branch
+    scale (stochastic-depth keep mask / (1−p)) — the inference path omits
+    the operand entirely, so its HLO is unchanged."""
+    if with_scale:
+        s_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     t = pl.program_id(1)
     wp = x_ref.shape[2]
     gamma = g_ref[0]        # (C,) f32
@@ -144,6 +152,8 @@ def _kernel_ln(x_ref, g_ref, be_ref, w1_ref, b1_ref, wk_ref, bdw_ref, w2_ref,
         acc, w2, dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b2  # (th, wp, C)
+    if with_scale:
+        out = out * s_ref[0, 0]
     # residual: x slab col c ↔ real col c−1; align with a sublane roll
     res = pltpu.roll(xf, wp - 1, 1)[1 : th + 1]  # (th, wp, C), col j = real j
     o_ref[0] = (out + res)[:, :w].astype(o_ref.dtype)
@@ -247,6 +257,369 @@ def mixffn_fused(x, w1, b1, kdw, bdw, w2, b2, interpret: bool = False):
         w2.astype(dt),
         b2.astype(jnp.float32).reshape(1, c),
     )
+
+
+# ---------------------------------------------------------------------------
+# differentiable fused block-FFN (training path)
+# ---------------------------------------------------------------------------
+#
+# The round-5 train profile put the composed FFN families (shifts-cvjp taps,
+# dk reduces, fc1/fc2 fusions and their LN epilogues) at ~42 ms of the
+# 171 ms B=8 480² step. This pair of kernels serves the whole block half
+# x + s·FFN(LN(x)) in training: the forward is the inference megakernel
+# with a per-sample branch scale (stochastic depth); the backward recomputes
+# every intermediate from x in VMEM (flash-style — nothing hid-sized is
+# saved) and emits dx plus all eight parameter gradients, with the weight
+# gradients accumulated across the sequential TPU grid into revisited
+# f32 output blocks (same pattern as the CFM backward's dbias).
+
+
+def _pick_th_train(h: int, wp: int, c: int, ch: int, dt_bytes: int,
+                   budget_bytes: int = 6 << 20,
+                   vmem_limit: int = 15 << 20):
+    """Largest divisor of H whose big f32 tile buffers fit. The model counts
+    the six Ch-sized slabs the backward keeps live (hid, z, d_a, d_z, gelu',
+    dh_acc) plus the C-sized slabs, doubled for Mosaic's stack slack; the
+    fixed residents are the two frame blocks and the weight/grad tiles."""
+    fixed = ((h + 5) * wp * c * dt_bytes      # x frame block
+             + (h + 3) * wp * c * dt_bytes    # go frame block
+             + 2 * c * ch * (dt_bytes + 4)    # w1/w2 + dw1/dw2 accumulators
+             + 9 * ch * 8)
+    best = None
+    for th in range(1, h + 1):
+        if h % th:
+            continue
+        tile = ((th + 5) * wp * ch * 4            # hid
+                + 4 * (th + 3) * wp * ch * 4      # z / d_a / d_z / gelu-grad
+                + th * wp * ch * 4                # dh_acc
+                + 3 * (th + 5) * wp * c * 4)      # xs / ln / d_ln-sized
+        if tile <= budget_bytes and fixed + 2 * tile <= vmem_limit:
+            best = th
+    return best
+
+
+def _bwd_kernel_ln(x_ref, go_ref, g_ref, be_ref, w1_ref, b1_ref, wk_ref,
+                   bdw_ref, w2_ref, s_ref,
+                   dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref, dk_ref,
+                   dbdw_ref, dw2_ref, db2_ref,
+                   *, th: int, h: int, w: int, eps: float):
+    """Backward of ``out = x + s·FFN(LN(x))`` per (batch, row-tile).
+
+    Row coordinate plan (slab row → real row): the x block is padded 2
+    top / 3 bottom so the tile's x slab [t·th, t·th+th+5) covers real rows
+    t·th−2 … t·th+th+2 (hid needs ±2 because d_hid row r pulls d_z rows
+    r−1…r+1, which pull z/hid rows r−2…r+2); the go block is padded 1 top /
+    2 bottom so its slab covers real rows t·th−1 … t·th+th+1 (the d_z rows).
+    Columns keep the forward's 1-left-pad convention; values aligned to real
+    columns (z, go, dx) are reached with single sublane rolls.
+    """
+    bi = pl.program_id(0)
+    t = pl.program_id(1)
+    wp = x_ref.shape[2]
+    f32 = jnp.float32
+    cdt = w1_ref.dtype
+    sc = s_ref[0, 0]
+
+    gamma = g_ref[0].astype(f32)
+    beta = be_ref[0].astype(f32)
+    w1 = w1_ref[:]
+    b1 = b1_ref[0]
+    wk = wk_ref[:]
+    bdw = bdw_ref[0]
+    w2 = w2_ref[:]
+    chh = w1.shape[1]
+
+    xs = x_ref[0, pl.ds(t * th, th + 5)].astype(f32)   # real rows t·th−2 …
+    gs = go_ref[0, pl.ds(t * th, th + 3)].astype(f32)  # real rows t·th−1 …
+
+    # ---- forward recompute (f32 stats, compute-dtype matmul inputs) ----
+    mu = jnp.mean(xs, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xs - mu), axis=-1, keepdims=True)
+    rsig = jax.lax.rsqrt(var + eps)
+    xhat = (xs - mu) * rsig
+    ln = (xhat * gamma + beta).astype(cdt)  # (th+5, wp, C)
+
+    hid = jax.lax.dot_general(
+        ln, w1, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=f32) + b1  # (th+5, wp, Ch)
+    rg = t * th - 2 + jax.lax.broadcasted_iota(jnp.int32, (th + 5, wp, 1), 0)
+    colx = jax.lax.broadcasted_iota(jnp.int32, (th + 5, wp, 1), 1)
+    hid = jnp.where((rg >= 0) & (rg < h) & (colx >= 1) & (colx < w + 1),
+                    hid, 0.0)
+
+    acc = jnp.zeros((th + 3, wp, chh), f32)
+    for dj in range(3):
+        sh = hid if dj == 0 else pltpu.roll(hid, wp - dj, 1)
+        for di in range(3):
+            acc = acc + sh[di : di + th + 3] * wk[di, dj]
+    z = acc + bdw  # (th+3, wp, Ch), col c = real col c
+
+    # ---- backward ----
+    go_a = pltpu.roll(gs, wp - 1, 1)        # col c = real col c
+    go_s = (go_a * sc).astype(cdt)          # FFN-branch cotangent
+    d_a = jax.lax.dot_general(
+        go_s, w2, dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=f32)  # (th+3, wp, Ch)
+    phi = jnp.exp(-0.5 * z * z) * 0.3989422804014327
+    big = 0.5 * (1.0 + _erf(z * 0.7071067811865476))
+    d_z = d_a * (big + z * phi)
+    a_act = _gelu_exact(z).astype(cdt)
+
+    # d_hid (tile-own rows, hid column convention: col c = real col c−1)
+    dh_acc = jnp.zeros((th, wp, chh), f32)
+    for dj in range(3):
+        sh = d_z if dj == 0 else pltpu.roll(d_z, dj, 1)  # [c] = d_z[c−dj]
+        for di in range(3):
+            dh_acc = dh_acc + sh[2 - di : 2 - di + th] * wk[di, dj]
+    colv = jax.lax.broadcasted_iota(jnp.int32, (th, wp, 1), 1)
+    d_hid = jnp.where((colv >= 1) & (colv < w + 1), dh_acc, 0.0)
+
+    d_hid_b = d_hid.astype(cdt)
+    d_ln = jax.lax.dot_general(
+        d_hid_b, w1, dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=f32)  # (th, wp, C)
+
+    xhat_t = xhat[2 : 2 + th]
+    dly = d_ln * gamma
+    mean1 = jnp.mean(dly, axis=-1, keepdims=True)
+    mean2 = jnp.mean(dly * xhat_t, axis=-1, keepdims=True)
+    dx_ln = rsig[2 : 2 + th] * (dly - mean1 - xhat_t * mean2)
+    dx_tile = go_a[1 : th + 1] + pltpu.roll(dx_ln, wp - 1, 1)
+    dx_ref[0] = dx_tile[:, :w].astype(dx_ref.dtype)
+
+    # ---- parameter gradients (tile partials → sequential accumulation) ----
+    ln_own = ln[2 : 2 + th]
+    a_own = a_act[1 : th + 1]
+    go_own_s = go_s[1 : th + 1]
+    dz_own = d_z[1 : th + 1]
+    dw2_p = jax.lax.dot_general(
+        a_own.reshape(th * wp, chh), go_own_s.reshape(th * wp, -1),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)  # (Ch, C)
+    dw1_p = jax.lax.dot_general(
+        ln_own.reshape(th * wp, -1), d_hid_b.reshape(th * wp, chh),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)  # (C, Ch)
+    db2_p = jnp.sum(go_a[1 : th + 1], axis=(0, 1)) * sc
+    db1_p = jnp.sum(d_hid, axis=(0, 1))
+    dg_p = jnp.sum(d_ln * xhat_t, axis=(0, 1))
+    dbe_p = jnp.sum(d_ln, axis=(0, 1))
+    dbdw_p = jnp.sum(dz_own, axis=(0, 1))
+    taps = []
+    for di in range(3):
+        row_taps = []
+        for dj in range(3):
+            sh = hid if dj == 0 else pltpu.roll(hid, wp - dj, 1)
+            row_taps.append(jnp.sum(sh[1 + di : 1 + di + th] * dz_own,
+                                    axis=(0, 1)))
+        taps.append(jnp.stack(row_taps))
+    dk_p = jnp.stack(taps)  # (3, 3, Ch)
+
+    first = (bi == 0) & (t == 0)
+
+    @pl.when(first)
+    def _():
+        dg_ref[0] = dg_p
+        dbe_ref[0] = dbe_p
+        dw1_ref[...] = dw1_p
+        db1_ref[0] = db1_p
+        dk_ref[...] = dk_p
+        dbdw_ref[0] = dbdw_p
+        dw2_ref[...] = dw2_p
+        db2_ref[0] = db2_p
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dg_ref[0] = dg_ref[0] + dg_p
+        dbe_ref[0] = dbe_ref[0] + dbe_p
+        dw1_ref[...] = dw1_ref[...] + dw1_p
+        db1_ref[0] = db1_ref[0] + db1_p
+        dk_ref[...] = dk_ref[...] + dk_p
+        dbdw_ref[0] = dbdw_ref[0] + dbdw_p
+        dw2_ref[...] = dw2_ref[...] + dw2_p
+        db2_ref[0] = db2_ref[0] + db2_p
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _block_ffn_fwd_scaled(x, gamma, beta, w1, b1, kdw, bdw, w2, b2, scale,
+                          eps: float = 1e-6, interpret: bool = False):
+    """Forward of the train path: ``x + scale_b·FFN(LN(x))`` (the inference
+    kernel plus a per-sample branch-scale operand)."""
+    b, h, w, c = x.shape
+    ch = w1.shape[1]
+    wp = -(-(w + 2) // 8) * 8
+    th = _pick_th(h, wp, ch)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    dt = x.dtype
+    fix = lambda i, t: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_kernel_ln, th=th, h=h, w=w, eps=eps,
+                          with_scale=True),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), dt),
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec((1, h + 2, wp, c), lambda i, t: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, ch), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, ch), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, c), lambda i, t: (i, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        xp,
+        gamma.astype(jnp.float32).reshape(1, c),
+        beta.astype(jnp.float32).reshape(1, c),
+        w1.astype(dt),
+        b1.astype(jnp.float32).reshape(1, ch),
+        kdw.reshape(3, 3, ch).astype(jnp.float32),
+        bdw.astype(jnp.float32).reshape(1, ch),
+        w2.astype(dt),
+        b2.astype(jnp.float32).reshape(1, c),
+        scale.astype(jnp.float32).reshape(b, 1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _block_ffn_bwd_pallas(x, gamma, beta, w1, b1, kdw, bdw, w2, scale, go,
+                          eps: float = 1e-6, interpret: bool = False):
+    b, h, w, c = x.shape
+    ch = w1.shape[1]
+    wp = -(-(w + 2) // 8) * 8
+    dt = x.dtype
+    th = _pick_th_train(h, wp, c, ch, dt.itemsize)
+    if th is None:
+        raise ValueError("block-FFN backward does not fit VMEM at this "
+                         "geometry")  # callers gate via block_ffn_train_fits
+    xp = jnp.pad(x, ((0, 0), (2, 3), (1, wp - w - 1), (0, 0)))
+    gp = jnp.pad(go, ((0, 0), (1, 2), (1, wp - w - 1), (0, 0)))
+    fix = lambda i, t: (0, 0)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_ln, th=th, h=h, w=w, eps=eps),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w, c), dt),       # dx
+            jax.ShapeDtypeStruct((1, c), jnp.float32),    # dgamma
+            jax.ShapeDtypeStruct((1, c), jnp.float32),    # dbeta
+            jax.ShapeDtypeStruct((c, ch), jnp.float32),   # dw1
+            jax.ShapeDtypeStruct((1, ch), jnp.float32),   # db1
+            jax.ShapeDtypeStruct((3, 3, ch), jnp.float32),  # dkdw
+            jax.ShapeDtypeStruct((1, ch), jnp.float32),   # dbdw
+            jax.ShapeDtypeStruct((ch, c), jnp.float32),   # dw2
+            jax.ShapeDtypeStruct((1, c), jnp.float32),    # db2
+        ),
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec((1, h + 5, wp, c), lambda i, t: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h + 3, wp, c), lambda i, t: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, ch), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, ch), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, th, w, c), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, ch), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, ch), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, c), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), fix, memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        xp,
+        gp,
+        gamma.astype(jnp.float32).reshape(1, c),
+        beta.astype(jnp.float32).reshape(1, c),
+        w1.astype(dt),
+        b1.astype(jnp.float32).reshape(1, ch),
+        kdw.reshape(3, 3, ch).astype(jnp.float32),
+        bdw.astype(jnp.float32).reshape(1, ch),
+        w2.astype(dt),
+        scale.astype(jnp.float32).reshape(b, 1),
+    )
+    (dx, dg, dbe, dw1, db1, dkdw, dbdw, dw2, db2) = outs
+    return (dx, dg[0], dbe[0], dw1, db1[0], dkdw.reshape(3, 3, 1, ch),
+            dbdw[0], dw2, db2[0])
+
+
+def block_ffn_train_fits(h: int, w: int, c: int, ch: int,
+                         dt_bytes: int = 2) -> bool:
+    """True when the backward kernel's VMEM model admits this geometry."""
+    wp = -(-(w + 2) // 8) * 8
+    return _pick_th_train(h, wp, c, ch, dt_bytes) is not None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def block_ffn_train(x, gamma, beta, w1, b1, kdw, bdw, w2, b2, scale,
+                    eps: float = 1e-6, interpret: bool = False):
+    """Differentiable fused block-FFN: ``x + scale_b·FFN(LN(x))``.
+
+    ``scale`` (B,) is the per-sample stochastic-depth branch scale (1.0, or
+    Bernoulli(keep)/keep at train); it is treated as non-differentiable.
+    Forward = the inference megakernel + scale; backward = one Pallas kernel
+    recomputing the forward from x in VMEM and emitting dx + all parameter
+    gradients (f32, accumulated across the sequential grid).
+    """
+    return _block_ffn_fwd_scaled(x, gamma, beta, w1, b1, kdw, bdw, w2, b2,
+                                 scale, eps, interpret)
+
+
+def _bft_fwd(x, gamma, beta, w1, b1, kdw, bdw, w2, b2, scale, eps, interpret):
+    out = _block_ffn_fwd_scaled(x, gamma, beta, w1, b1, kdw, bdw, w2, b2,
+                                scale, eps, interpret)
+    return out, (x, gamma, beta, w1, b1, kdw, bdw, w2, scale)
+
+
+def _bft_bwd(eps, interpret, res, g):
+    x, gamma, beta, w1, b1, kdw, bdw, w2, scale = res
+    dx, dg, dbe, dw1, db1, dkdw, dbdw, dw2, db2 = _block_ffn_bwd_pallas(
+        x, gamma, beta, w1, b1, kdw, bdw, w2, scale, g, eps, interpret)
+    return (dx, dg.astype(gamma.dtype), dbe.astype(beta.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dkdw.astype(kdw.dtype), dbdw.astype(bdw.dtype),
+            dw2.astype(w2.dtype), db2.astype(b1.dtype),
+            jnp.zeros_like(scale))
+
+
+block_ffn_train.defvjp(_bft_fwd, _bft_bwd)
+
+
+def block_ffn_train_xla(x, gamma, beta, w1, b1, kdw, bdw, w2, b2, scale,
+                        eps: float = 1e-6):
+    """Identical-math XLA composition of ``block_ffn_train`` (oracle)."""
+    branch = mixffn_xla(
+        _ln_xla(x, gamma, beta, eps).astype(x.dtype),
+        w1, b1, kdw, bdw, w2, b2).astype(jnp.float32)
+    s = scale.astype(jnp.float32)[:, None, None, None]
+    return (x.astype(jnp.float32) + s * branch).astype(x.dtype)
+
+
+def _ln_xla(x, gamma, beta, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32)
+            + beta.astype(jnp.float32))
 
 
 def mixffn_xla(x, w1, b1, kdw, bdw, w2, b2):
