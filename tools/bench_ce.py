@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--ch", type=int, nargs="*", default=(8,),
                     help="row-chunk values to sweep for the v3 kernels")
     ap.add_argument("--skip-v2", action="store_true")
+    ap.add_argument("--skip-v3", action="store_true")
     args = ap.parse_args()
 
     import vss_cffm_tpu.ops.ce_upsampled as ceu
@@ -63,18 +64,23 @@ def main():
         bench("v2 bwd (ch=4)",
               lambda x: ceu._ce_bwd_loss_pallas(x, lph, ct, s, c, img_w))
     for ch in args.ch:
-        try:
-            bench(f"v3 fwd (ch={ch})",
-                  lambda x, ch=ch: ceu._ce_fwd_loss_pallas3(
-                      x, lphw, s, img_w, True, ch=ch)[0])
-        except Exception as e:  # noqa: BLE001 - report and continue the sweep
-            print(f"v3 fwd (ch={ch}) FAILED: {type(e).__name__}: {str(e)[:200]}")
-        try:
-            bench(f"v3 bwd (ch={ch})",
-                  lambda x, ch=ch: ceu._ce_bwd_loss_pallas3(
-                      x, lphw, ct, s, c, img_w, ch=ch))
-        except Exception as e:  # noqa: BLE001
-            print(f"v3 bwd (ch={ch}) FAILED: {type(e).__name__}: {str(e)[:200]}")
+        for name, fn in (
+            ("v5 fwd", lambda x, ch=ch: ceu._ce_fwd_loss_pallas5(
+                x, lphw, s, img_w, True, ch=ch)[0]),
+            ("v5 bwd", lambda x, ch=ch: ceu._ce_bwd_loss_pallas5(
+                x, lphw, ct, s, c, img_w, ch=ch)),
+            ("v3 fwd", lambda x, ch=ch: ceu._ce_fwd_loss_pallas3(
+                x, lphw, s, img_w, True, ch=ch)[0]),
+            ("v3 bwd", lambda x, ch=ch: ceu._ce_bwd_loss_pallas3(
+                x, lphw, ct, s, c, img_w, ch=ch)),
+        ):
+            if args.skip_v3 and name.startswith("v3"):
+                continue
+            try:
+                bench(f"{name} (ch={ch})", fn)
+            except Exception as e:  # noqa: BLE001 - report, continue sweep
+                print(f"{name} (ch={ch}) FAILED: "
+                      f"{type(e).__name__}: {str(e)[:200]}")
 
 
 if __name__ == "__main__":

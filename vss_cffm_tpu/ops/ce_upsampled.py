@@ -409,7 +409,13 @@ def _fwd_loss_kernel(prev_ref, cur_ref, next_ref, lbl_ref, wsum_ref, corr_ref,
             lbl = lbl_ref[0, :, ph * s + pw].astype(jnp.int32)  # (ch, w)
             valid = (lbl >= 0) & (lbl < num_classes)
             safe = jnp.where(valid, lbl, 0)
-            picked = jnp.sum(jnp.where(iota_c == safe[..., None], up, 0.0), axis=-1)
+            # label pick as a masked MAX, not a masked sum: exactly one lane
+            # survives the mask so max ≡ sum — and Mosaic's lane-max is ~5×
+            # cheaper than its lane-sum (round-5 probe: 0.04 vs 0.22 ms per
+            # (32,120,120,128) pass; two sums per phase were ~7 ms of the
+            # 11 ms forward)
+            picked = jnp.max(jnp.where(iota_c == safe[..., None], up, _NEG),
+                             axis=-1)
             tot = tot + jnp.where(valid, lse - picked, 0.0)
             if count_acc:
                 cor = cor + jnp.where(valid & (picked == m[..., 0]), 1.0, 0.0)
@@ -516,7 +522,10 @@ def _bwd_loss_kernel(xprev_ref, xcur_ref, xnext_ref,
             gv = jnp.where(first & (row == 0), 0.0, gv)
             gv = jnp.where(last & (row == he - 1), 0.0, gv)
 
-            # recompute the softmax (the v1 kernel read lse from HBM)
+            # recompute the softmax (the v1 kernel read lse from HBM).
+            # (A "folded" t = e·(gv/Σe) with a select-subtract on the label
+            # lane measured 14.2 → 18.9 ms — Mosaic fuses this chain better
+            # than the hand-folded one; keep the straight form.)
             m = jnp.max(up, axis=-1, keepdims=True)
             e = jnp.exp(up - m)
             sm = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -657,6 +666,234 @@ def _sl_shift_zero(x, down: bool):
     return jnp.where(row == n - 1, 0.0, pltpu.roll(x, n - 1, 1))
 
 
+def _fwd_loss_kernel5(prev_ref, cur_ref, next_ref, lbl_ref, wsum_ref, corr_ref,
+                      *, s: int, ch: int, num_classes: int, img_w: float,
+                      count_acc: bool):
+    """v5 = the v2 unrolled structure with ONLY the label machinery
+    layout-aligned: labels arrive w-major (N, h, w, s²) so a phase slice is
+    a static (ch, w, 1) lane slice, every (ch, w)-shaped value keeps a
+    trailing lane dim, and the partial sums write as (1, ch, w, 1) blocks.
+    The round-5 bisect priced the v2 label path (w-in-lanes 2-D labels
+    broadcast against the w-in-sublanes class grid — a relayout per phase)
+    at ~4.3 ms of the 11 ms forward; the v3 rewrite fixed that but buried
+    the win under fori-loop/roll-shift regressions."""
+    i = pl.program_id(1)
+    g = pl.num_programs(1)
+    coeffs = _phase_coeffs(s)
+
+    cur = cur_ref[0].astype(jnp.float32)  # (ch, w, Cp)
+    xm1 = jnp.where(i > 0, prev_ref[0, ch - 1].astype(jnp.float32), cur[0])
+    xp1 = jnp.where(i < g - 1, next_ref[0, 0].astype(jnp.float32), cur[ch - 1])
+    ext = jnp.concatenate([xm1[None], cur, xp1[None]], axis=0)  # (ch+2, w, Cp)
+
+    cp = ext.shape[-1]
+    wlen = ext.shape[1]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (ch, wlen, cp), 2)
+    lbl_all = lbl_ref[0].astype(jnp.int32)  # (ch, w, s²)
+
+    tot = jnp.zeros((ch, wlen, 1), jnp.float32)
+    cor = jnp.zeros((ch, wlen, 1), jnp.float32)
+    for ph, (dh, fh) in enumerate(coeffs):
+        lo = ext[1 + dh : 1 + dh + ch]
+        hi = ext[2 + dh : 2 + dh + ch]
+        xh = lo * (1.0 - fh) + hi * fh  # (ch, w, Cp)
+        xh_l = _shift_w(xh, left=True)
+        xh_r = _shift_w(xh, left=False)
+        for pw, (dw, fw) in enumerate(coeffs):
+            if dw < 0:
+                up = xh_l * (1.0 - fw) + xh * fw
+            else:
+                up = xh * (1.0 - fw) + xh_r * fw
+            m = jnp.max(up, axis=-1, keepdims=True)  # (ch, w, 1)
+            e = jnp.exp(up - m)
+            lse = m + jnp.log(jnp.sum(e, axis=-1, keepdims=True))
+            pidx = ph * s + pw
+            lbl = lbl_all[:, :, pidx : pidx + 1]  # (ch, w, 1), static slice
+            valid = (lbl >= 0) & (lbl < num_classes)
+            safe = jnp.where(valid, lbl, 0)
+            picked = jnp.max(jnp.where(iota_c == safe, up, _NEG), axis=-1,
+                             keepdims=True)
+            tot = tot + jnp.where(valid, lse - picked, 0.0)
+            if count_acc:
+                cor = cor + jnp.where(valid & (picked == m), 1.0, 0.0)
+    wsum_ref[0] = tot * img_w
+    corr_ref[0] = cor
+
+
+@functools.partial(jax.jit, static_argnames=("s", "img_w", "count_acc", "ch",
+                                             "interpret"))
+def _ce_fwd_loss_pallas5(logits, labels_phw, s: int, img_w: float,
+                         count_acc: bool = True, ch: int = 4,
+                         interpret: bool = False):
+    """labels_phw (N, h, w, s²) w-major — see ``labels_to_phase_w``."""
+    n, h, w, c = logits.shape
+    cp = -(-c // 128) * 128
+    if cp != c:
+        logits = jnp.pad(logits, ((0, 0),) * 3 + ((0, cp - c),),
+                         constant_values=_NEG)
+    while ch > 1 and h % ch:
+        ch -= 1
+    grid = (n, h // ch)
+    g = h // ch
+    view = lambda fix: pl.BlockSpec((1, ch, w, cp), fix, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, ch, w, 1), lambda ni, i: (ni, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    wsum, corr = pl.pallas_call(
+        functools.partial(_fwd_loss_kernel5, s=s, ch=ch, num_classes=c,
+                          img_w=img_w, count_acc=count_acc),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h, w, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, h, w, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            view(lambda ni, i: (ni, jnp.maximum(i - 1, 0), 0, 0)),
+            view(lambda ni, i: (ni, i, 0, 0)),
+            view(lambda ni, i, g=g: (ni, jnp.minimum(i + 1, g - 1), 0, 0)),
+            pl.BlockSpec((1, ch, w, s * s), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec),
+        interpret=interpret,
+    )(logits, logits, logits, labels_phw)
+    return jnp.sum(wsum), jnp.sum(corr)
+
+
+def _bwd_loss_kernel5(xprev_ref, xcur_ref, xnext_ref,
+                      lprev_ref, lcur_ref, lnext_ref, ct_ref,
+                      dx_ref, *, s: int, ch: int, num_classes: int,
+                      img_w: float):
+    """v5 backward: the v2 structure with the label/cotangent chain rank-3
+    (w-major labels, static lane slices) — see ``_fwd_loss_kernel5``."""
+    i = pl.program_id(1)
+    g = pl.num_programs(1)
+    coeffs = _phase_coeffs(s)
+    ct = ct_ref[0, 0] * img_w
+
+    xcur = xcur_ref[0].astype(jnp.float32)  # (ch, w, Cp)
+    first = i == 0
+    last = i == g - 1
+    xm2 = jnp.where(i > 0, xprev_ref[0, 0].astype(jnp.float32), xcur[0])
+    xm1 = jnp.where(i > 0, xprev_ref[0, 1].astype(jnp.float32), xcur[0])
+    xp1 = jnp.where(i < g - 1, xnext_ref[0, 0].astype(jnp.float32), xcur[ch - 1])
+    xp2 = jnp.where(i < g - 1, xnext_ref[0, 1].astype(jnp.float32), xcur[ch - 1])
+    xe = jnp.concatenate([xm2[None], xm1[None], xcur, xp1[None], xp2[None]], 0)
+
+    cp = xe.shape[-1]
+    wlen = xe.shape[1]
+    he = ch + 2
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (he, wlen, cp), 2)
+    ltop = jnp.where(i > 0, lprev_ref[0, 0], lcur_ref[0, 0])
+    lbot = jnp.where(i < g - 1, lnext_ref[0, 0], lcur_ref[0, ch - 1])
+    lbl_halo = jnp.concatenate([ltop[None], lcur_ref[0], lbot[None]],
+                               0).astype(jnp.int32)  # (he, w, s²)
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (he, wlen, 1), 0)
+    edge_row = (first & (rowg == 0)) | (last & (rowg == he - 1))
+
+    dx = jnp.zeros((ch, wlen, cp), jnp.float32)
+
+    for ph, (dh, fh) in enumerate(coeffs):
+        dxh = jnp.zeros((he, wlen, cp), jnp.float32)
+        lo = xe[1 + dh : 1 + dh + he]
+        hi = xe[2 + dh : 2 + dh + he]
+        xh = lo * (1.0 - fh) + hi * fh
+        xh_l = _shift_w(xh, left=True)
+        xh_r = _shift_w(xh, left=False)
+        for pw, (dw, fw) in enumerate(coeffs):
+            if dw < 0:
+                up = xh_l * (1.0 - fw) + xh * fw
+            else:
+                up = xh * (1.0 - fw) + xh_r * fw
+            pidx = ph * s + pw
+
+            lbl = lbl_halo[:, :, pidx : pidx + 1]  # (he, w, 1)
+            valid = (lbl >= 0) & (lbl < num_classes)
+            safe = jnp.where(valid, lbl, 0)
+            gv = jnp.where(valid & ~edge_row, ct, 0.0)  # (he, w, 1)
+
+            m = jnp.max(up, axis=-1, keepdims=True)
+            e = jnp.exp(up - m)
+            sm = e / jnp.sum(e, axis=-1, keepdims=True)
+            onehot = (iota_c == safe).astype(jnp.float32)
+            t = gv * (sm - onehot)  # (he, w, Cp)
+
+            col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            if dw < 0:
+                dW = _shift_w_zero(t, left=False) * (1.0 - fw) + t * fw
+                dW = dW + jnp.where(col == 0, (1.0 - fw) * t, 0.0)
+            else:
+                dW = t * (1.0 - fw) + _shift_w_zero(t, left=True) * fw
+                dW = dW + jnp.where(col == wlen - 1, fw * t, 0.0)
+            dxh = dxh + dW
+        a = dxh[1 - dh : 1 - dh + ch]
+        b = dxh[-dh : -dh + ch]
+        contrib = a * (1.0 - fh) + b * fh
+        rowc = jax.lax.broadcasted_iota(jnp.int32, contrib.shape, 0)
+        if dh < 0:
+            contrib = contrib + jnp.where(
+                first & (rowc == 0), (1.0 - fh) * dxh[1][None], 0.0)
+        else:
+            contrib = contrib + jnp.where(
+                last & (rowc == ch - 1), fh * dxh[ch][None], 0.0)
+        dx = dx + contrib
+
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "c", "img_w", "ch",
+                                             "interpret"))
+def _ce_bwd_loss_pallas5(logits, labels_phw, ct, s: int, c: int, img_w: float,
+                         ch: int = 4, interpret: bool = False):
+    n, h, w, _ = logits.shape
+    cp = -(-c // 128) * 128
+    if cp != c:
+        logits = jnp.pad(logits, ((0, 0),) * 3 + ((0, cp - c),),
+                         constant_values=_NEG)
+    while ch > 1 and (h % ch or ch % 2):
+        ch -= 1
+    assert ch >= 2, "backward kernel needs an even row-chunk divisor of h"
+    grid = (n, h // ch)
+    g = h // ch
+    h2 = h // 2
+    xcurv = pl.BlockSpec((1, ch, w, cp), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    xprevv = pl.BlockSpec(
+        (1, 2, w, cp),
+        lambda ni, i, ch=ch: (ni, jnp.maximum(i * (ch // 2) - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    xnextv = pl.BlockSpec(
+        (1, 2, w, cp),
+        lambda ni, i, ch=ch, h2=h2: (ni, jnp.minimum((i + 1) * (ch // 2), h2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    pcurv = pl.BlockSpec((1, ch, w, s * s), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    pprevv = pl.BlockSpec(
+        (1, 1, w, s * s),
+        lambda ni, i, ch=ch: (ni, jnp.maximum(i * ch - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    pnextv = pl.BlockSpec(
+        (1, 1, w, s * s),
+        lambda ni, i, ch=ch, h=h: (ni, jnp.minimum((i + 1) * ch, h - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_bwd_loss_kernel5, s=s, ch=ch, num_classes=c,
+                          img_w=img_w),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            xprevv, xcurv, xnextv,
+            pprevv, pcurv, pnextv,
+            pl.BlockSpec((1, 1), lambda ni, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ch, w, cp), lambda ni, i: (ni, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(logits, logits, logits,
+      labels_phw, labels_phw, labels_phw,
+      ct.astype(jnp.float32).reshape(1, 1))
+    return out[..., :c]
+
+
 def _phase_coeff_dyn(p, s: int):
     """(δ, f) of ``_phase_coeffs`` from a *traced* phase index (loop var)."""
     d = (p.astype(jnp.float32) + 0.5) / s - 0.5
@@ -715,8 +952,11 @@ def _fwd_loss_kernel3(prev_ref, cur_ref, next_ref, lbl_ref, wsum_ref, corr_ref,
     def h_body(ph, carry):
         tot, cor = carry
         dh, fh = _phase_coeff_dyn(ph, s)
-        lo = jax.lax.dynamic_slice_in_dim(ext, 1 + dh, ch, axis=0)
-        hi = jax.lax.dynamic_slice_in_dim(ext, 2 + dh, ch, axis=0)
+        # δ ∈ {−1, 0} always → the dynamic row slice is a select between the
+        # two static slices (Mosaic has no value-level dynamic_slice)
+        neg_h = dh < 0
+        lo = jnp.where(neg_h, ext[0:ch], ext[1 : 1 + ch])
+        hi = jnp.where(neg_h, ext[1 : 1 + ch], ext[2 : 2 + ch])
         xh = lo * (1.0 - fh) + hi * fh  # (ch, w, Cp)
         xh_l = _sl_shift(xh, down=True)
         xh_r = _sl_shift(xh, down=False)
@@ -840,18 +1080,19 @@ def _bwd_loss_kernel3(xprev_ref, xcur_ref, xnext_ref,
 
     def h_body(ph, dx):
         dh, fh = _phase_coeff_dyn(ph, s)
-        lo = jax.lax.dynamic_slice_in_dim(xe, 1 + dh, he, axis=0)
-        hi = jax.lax.dynamic_slice_in_dim(xe, 2 + dh, he, axis=0)
+        # δ ∈ {−1, 0} → selects between static row slices (see fwd kernel)
+        neg_h = dh < 0
+        lo = jnp.where(neg_h, xe[0:he], xe[1 : 1 + he])
+        hi = jnp.where(neg_h, xe[1 : 1 + he], xe[2 : 2 + he])
         xh = lo * (1.0 - fh) + hi * fh
         xh_l = _sl_shift(xh, down=True)
         xh_r = _sl_shift(xh, down=False)
         dxh = jnp.zeros((he, wlen, cp), jnp.float32)
         dxh, *_ = jax.lax.fori_loop(0, s, w_body, (dxh, xh, xh_l, xh_r, ph))
-        a = jax.lax.dynamic_slice_in_dim(dxh, 1 - dh, ch, axis=0)
-        b = jax.lax.dynamic_slice_in_dim(dxh, -dh, ch, axis=0)
+        a = jnp.where(neg_h, dxh[2 : 2 + ch], dxh[1 : 1 + ch])
+        b = jnp.where(neg_h, dxh[1 : 1 + ch], dxh[0:ch])
         contrib = a * (1.0 - fh) + b * fh
         rowc = jax.lax.broadcasted_iota(jnp.int32, contrib.shape, 0)
-        neg_h = dh < 0
         contrib = contrib + jnp.where(
             neg_h & first & (rowc == 0), (1.0 - fh) * dxh[1][None], 0.0)
         contrib = contrib + jnp.where(
@@ -942,32 +1183,31 @@ def ce_upsampled_loss(logits, labels_ph, s: int, img_w: float,
     Differentiable wrt ``logits`` only; the correct-count output carries no
     gradient (it is a logging metric, zero a.e. anyway).
 
-    Served by the v3 layout-aligned kernels (the phase-major labels are
-    swapped to w-major XLA-side — a u8 copy that fuses with the phase
-    transpose producing them).
+    Served by the measured round-5 winners (tools/bench_ce.py sweep at the
+    B=8 train geometry): forward = the v2 kernel with the masked-max label
+    pick (10.6 ms); backward = the v5 rank-3/w-major-labels kernel
+    (12.8 ms vs v2's 14.2). The v3 fori-loop variants measured slower on
+    both sides and remain only as bench baselines.
     """
-    lphw = jnp.swapaxes(labels_ph, 2, 3)
-    return _ce_fwd_loss_pallas3(logits, lphw, s, img_w, count_acc,
-                                interpret=_INTERPRET)
+    return _ce_fwd_loss_pallas(logits, labels_ph, s, img_w, count_acc,
+                               interpret=_INTERPRET)
 
 
 def _ce_loss_fwd(logits, labels_ph, s: int, img_w: float, count_acc: bool):
-    lphw = jnp.swapaxes(labels_ph, 2, 3)
-    out = _ce_fwd_loss_pallas3(logits, lphw, s, img_w, count_acc,
-                               interpret=_INTERPRET)
-    return out, (logits, lphw)
+    out = _ce_fwd_loss_pallas(logits, labels_ph, s, img_w, count_acc,
+                              interpret=_INTERPRET)
+    return out, (logits, labels_ph)
 
 
 def _ce_loss_bwd(s: int, img_w: float, count_acc: bool, res, cts):
-    logits, lphw = res
+    logits, labels_ph = res
     g_wsum, _ = cts  # correct-count output: no gradient path
-    dlogits = _ce_bwd_loss_pallas3(logits, lphw, g_wsum, s,
-                                   logits.shape[-1], img_w,
+    # the v5 backward takes w-major labels; the u8 swap runs at 1/4 width
+    dlogits = _ce_bwd_loss_pallas5(logits, jnp.swapaxes(labels_ph, 2, 3),
+                                   g_wsum, s, logits.shape[-1], img_w,
                                    interpret=_INTERPRET)
     return (dlogits.astype(logits.dtype),
-            np.zeros((logits.shape[0],) + lphw.shape[1:2]
-                     + (lphw.shape[3], lphw.shape[2]),
-                     dtype=jax.dtypes.float0))
+            np.zeros(labels_ph.shape, dtype=jax.dtypes.float0))
 
 
 ce_upsampled_loss.defvjp(_ce_loss_fwd, _ce_loss_bwd)

@@ -117,6 +117,7 @@ def _kernel_ln(x_ref, g_ref, be_ref, w1_ref, b1_ref, wk_ref, bdw_ref, w2_ref,
     else:
         (o_ref,) = rest
     t = pl.program_id(1)
+    bi = pl.program_id(0)
     wp = x_ref.shape[2]
     gamma = g_ref[0]        # (C,) f32
     beta = be_ref[0]        # (C,) f32
@@ -153,7 +154,7 @@ def _kernel_ln(x_ref, g_ref, be_ref, w1_ref, b1_ref, wk_ref, bdw_ref, w2_ref,
         preferred_element_type=jnp.float32,
     ) + b2  # (th, wp, C)
     if with_scale:
-        out = out * s_ref[0, 0]
+        out = out * s_ref[bi, 0]  # (B, 1) SMEM vector, per-sample scale
     # residual: x slab col c ↔ real col c−1; align with a sublane roll
     res = pltpu.roll(xf, wp - 1, 1)[1 : th + 1]  # (th, wp, C), col j = real j
     o_ref[0] = (out + res)[:, :w].astype(o_ref.dtype)
@@ -275,12 +276,16 @@ def mixffn_fused(x, w1, b1, kdw, bdw, w2, b2, interpret: bool = False):
 
 
 def _pick_th_train(h: int, wp: int, c: int, ch: int, dt_bytes: int,
-                   budget_bytes: int = 6 << 20,
-                   vmem_limit: int = 15 << 20):
-    """Largest divisor of H whose big f32 tile buffers fit. The model counts
-    the six Ch-sized slabs the backward keeps live (hid, z, d_a, d_z, gelu',
-    dh_acc) plus the C-sized slabs, doubled for Mosaic's stack slack; the
-    fixed residents are the two frame blocks and the weight/grad tiles."""
+                   vmem_limit: int = 14 << 20):
+    """Largest divisor of H whose backward-kernel live set fits VMEM.
+
+    The live-set model counts the six Ch-sized f32 slabs the backward keeps
+    simultaneously live (hid, z/acc, d_a, d_z, gelu-grad temp, dh_acc), the
+    C-sized slabs, one extra hid-sized slab of Mosaic stack slack, and the
+    fixed residents (the two frame blocks, weights, f32 grad accumulators).
+    A too-small th is poison — the ±(2,3)-row halo recompute costs
+    (th+5)/th× of the forward matmuls — so the model errs permissive and
+    ``block_ffn_train_fits`` is the conservative caller-facing gate."""
     fixed = ((h + 5) * wp * c * dt_bytes      # x frame block
              + (h + 3) * wp * c * dt_bytes    # go frame block
              + 2 * c * ch * (dt_bytes + 4)    # w1/w2 + dw1/dw2 accumulators
@@ -289,11 +294,12 @@ def _pick_th_train(h: int, wp: int, c: int, ch: int, dt_bytes: int,
     for th in range(1, h + 1):
         if h % th:
             continue
-        tile = ((th + 5) * wp * ch * 4            # hid
+        hid_slab = (th + 5) * wp * ch * 4
+        tile = (hid_slab                          # hid
                 + 4 * (th + 3) * wp * ch * 4      # z / d_a / d_z / gelu-grad
                 + th * wp * ch * 4                # dh_acc
                 + 3 * (th + 5) * wp * c * 4)      # xs / ln / d_ln-sized
-        if tile <= budget_bytes and fixed + 2 * tile <= vmem_limit:
+        if fixed + tile + hid_slab <= vmem_limit:
             best = th
     return best
 
@@ -318,7 +324,7 @@ def _bwd_kernel_ln(x_ref, go_ref, g_ref, be_ref, w1_ref, b1_ref, wk_ref,
     wp = x_ref.shape[2]
     f32 = jnp.float32
     cdt = w1_ref.dtype
-    sc = s_ref[0, 0]
+    sc = s_ref[bi, 0]  # (B, 1) SMEM vector
 
     gamma = g_ref[0].astype(f32)
     beta = be_ref[0].astype(f32)
@@ -469,7 +475,7 @@ def _block_ffn_fwd_scaled(x, gamma, beta, w1, b1, kdw, bdw, w2, b2, scale,
             pl.BlockSpec((1, ch), fix, memory_space=pltpu.VMEM),
             pl.BlockSpec((ch, c), fix, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, th, w, c), lambda i, t: (i, t, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -529,7 +535,7 @@ def _block_ffn_bwd_pallas(x, gamma, beta, w1, b1, kdw, bdw, w2, scale, go,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ch), fix, memory_space=pltpu.VMEM),
             pl.BlockSpec((ch, c), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, th, w, c), lambda i, t: (i, t, 0, 0),
