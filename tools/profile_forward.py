@@ -92,6 +92,9 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="profile the jitted train step (B=8 480² reference "
                          "geometry) instead of clip inference")
+    ap.add_argument("--train-block-impl", default=None,
+                    help="train_block_impl override (e.g. 'ffn' or "
+                         "'ffn,ffn,ffn,' per stage)")
     ap.add_argument("--batch", type=int, default=None)
     args = ap.parse_args()
 
@@ -121,6 +124,13 @@ def main():
         tcfg = load_config(os.path.join(os.path.dirname(__file__), "..",
                                         "configs",
                                         f"cffm_{args.variant}_vspw_160k.py"))
+        model_overrides = dict(overrides)
+        if args.train_block_impl is not None:
+            model_overrides["train_block_impl"] = _parse_impl(
+                args.train_block_impl)
+        if model_overrides:
+            tcfg = dataclasses.replace(
+                tcfg, model=dataclasses.replace(tcfg.model, **model_overrides))
         b = args.batch or tcfg.data.batch_size
         h, w = tcfg.data.crop_size
         rng = np.random.RandomState(0)

@@ -98,6 +98,11 @@ def _coerce(value: str, current: Any) -> Any:
         elem = next((e for e in current if e is not None), None)
         return tuple(_coerce(p.strip(), elem) for p in parts)
     if current is None:
+        if "," in value:
+            # per-stage impl tuples on a None-valued field (e.g.
+            # model.train_block_impl=ffn,ffn,ffn, → ("ffn","ffn","ffn",None))
+            return tuple((p.strip() or None)
+                         for p in value.strip("()[] ").split(","))
         return value
     return type(current)(value)
 

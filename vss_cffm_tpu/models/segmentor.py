@@ -70,9 +70,13 @@ class SegmentorConfig:
     # gates on `deterministic`, so training always takes the composed path.
     block_impl: str | tuple | None = (None, "fused", "fused", None)
     # TRAINING-path block-FFN fusion (ops/mixffn.block_ffn_train): serves
-    # x + s·FFN(LN2(x)) from a differentiable Pallas pair. None = all-XLA
-    # training; "ffn" / 4-tuple per stage.
-    train_block_impl: str | tuple | None = None
+    # x + s·FFN(LN2(x)) from a differentiable Pallas pair. Default: stages
+    # 1-3, measured 0.54×/0.38×/0.69× their composed fwd+bwd at B=8
+    # (tools/bench_ffn_train.py); stage 4 composed (kernel measured 1.55 vs
+    # 0.95 ms/block there — same shape of loss as the inference megakernel's
+    # stage-4 row). B=8 480² train step: 168.9 → 152.8 ms with "ffn" on all
+    # stages; see DEVELOPMENT.md "Round-5 train attack".
+    train_block_impl: str | tuple | None = ("ffn", "ffn", "ffn", None)
     test_cfg: TestConfig = dataclasses.field(default_factory=TestConfig)
 
     @property
