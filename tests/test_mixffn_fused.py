@@ -177,3 +177,36 @@ def test_mit_block_train_ffn_matches_composed(rng):
         scl = float(jnp.max(jnp.abs(b))) + 1e-12
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=3e-5 * scl)
+
+
+def test_mit_block_train_full_matches_composed(rng):
+    """MiTBlock with train_block_impl='full-interpret' (whole-block Pallas
+    pair in training) ≡ the composed training block: values and all
+    parameter gradients (f32, drop_path 0)."""
+    from vss_cffm_tpu.models.mit import MiTBlock
+
+    x = jnp.asarray(rng.randn(2, 8, 8, 32).astype(np.float32))
+
+    def build(impl):
+        return MiTBlock(dim=32, num_heads=2, sr_ratio=2, mlp_ratio=4,
+                        qkv_bias=True, drop=0.0, attn_drop=0.0,
+                        drop_path_rate=0.0, norm_eps=1e-6,
+                        train_block_impl=impl)
+
+    ref = build(None)
+    fused = build("full-interpret")
+    params = ref.init(jax.random.PRNGKey(0), x, False)
+
+    def loss(mod, p):
+        return jnp.sum(jnp.cos(mod.apply(p, x, False)))
+
+    v_ref, g_ref = jax.value_and_grad(lambda p: loss(ref, p))(params)
+    v_fused, g_fused = jax.value_and_grad(lambda p: loss(fused, p))(params)
+    np.testing.assert_allclose(float(v_fused), float(v_ref), rtol=1e-5)
+    flat_r, tdef_r = jax.tree_util.tree_flatten(g_ref)
+    flat_f, tdef_f = jax.tree_util.tree_flatten(g_fused)
+    assert tdef_r == tdef_f
+    for a, b in zip(flat_f, flat_r):
+        scl = float(jnp.max(jnp.abs(b))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-5 * scl)

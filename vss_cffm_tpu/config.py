@@ -94,9 +94,19 @@ def _coerce(value: str, current: Any) -> Any:
     if isinstance(current, float):
         return float(value)
     if isinstance(current, tuple):
-        parts = [p for p in value.strip("()[] ").split(",") if p]
+        elem0 = next((e for e in current if e is not None), None)
+        if "," not in value and (elem0 is None or isinstance(elem0, str)):
+            # bare string onto a per-stage impl tuple → applies to all
+            # stages (models accept str | tuple)
+            return value
+        parts = [p.strip() for p in value.strip("()[] ").split(",")]
+        if parts and parts[-1] == "" and len(parts) == len(current) + 1:
+            # trailing comma ("a,b,c," on a 4-tuple) → trailing None slot
+            parts = parts[:-1] + [""]
+        parts = [p for p in parts if p != ""] if len(parts) != len(current) \
+            else parts
         elem = next((e for e in current if e is not None), None)
-        return tuple(_coerce(p.strip(), elem) for p in parts)
+        return tuple(None if p == "" else _coerce(p, elem) for p in parts)
     if current is None:
         if "," in value:
             # per-stage impl tuples on a None-valued field (e.g.

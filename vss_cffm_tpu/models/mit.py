@@ -472,6 +472,60 @@ class MiTBlock(nn.Module):
             and (self.block_impl == "fused-interpret"
                  or jax.devices()[0].platform in ("tpu", "axon"))
         )
+        use_train_full = (
+            self.train_block_impl in ("full", "full-interpret")
+            and not deterministic and self.drop == 0.0
+            and self.attn_drop == 0.0
+            and self.dim % self.num_heads == 0 and n_kv <= 2048
+            and (self.train_block_impl == "full-interpret"
+                 or jax.devices()[0].platform in ("tpu", "axon"))
+        )
+        if use_train_full:
+            from ..ops.stage_block import (mit_block_train,
+                                           mit_block_train_fits)
+
+            hidden = int(self.dim * self.mlp_ratio)
+            if mit_block_train_fits(_h, _w, self.dim, hidden, self.num_heads,
+                                    n_kv, jnp.dtype(self.dtype).itemsize):
+                # Whole block (both halves) as ONE differentiable Pallas
+                # pair; K/V stay XLA-side so their producer chain (sr conv +
+                # LN + kv dense) backprops through XLA, and the kernel
+                # returns dK/dV. Branch scales reproduce the two drop_path
+                # draws of the composed path.
+                g1, be1 = _LNParams(self.dim, name="norm1")()
+                xf0 = x.astype(jnp.float32)
+                mu = jnp.mean(xf0, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(xf0 - mu), axis=-1, keepdims=True)
+                h1 = ((xf0 - mu) * jax.lax.rsqrt(var + self.norm_eps)
+                      * g1.astype(jnp.float32) + be1.astype(jnp.float32)
+                      ).astype(self.dtype)
+                k, v, wq, bq, wpr, bpr = SRAttention(
+                    self.dim, self.num_heads, self.sr_ratio, self.qkv_bias,
+                    self.attn_drop, self.drop, self.norm_eps, self.dtype,
+                    name="attn",
+                )(h1, deterministic, kv_only=True)
+                g2, be2 = _LNParams(self.dim, name="norm2")()
+                k1, b1, kdw, bdw, k2, b2 = MixFFN(
+                    self.dim, hidden, self.drop, self.dwconv_impl,
+                    self.dtype, name="mlp",
+                )(x, deterministic, params_only=True)
+                nb = x.shape[0]
+                if self.drop_path_rate > 0.0:
+                    keep = 1.0 - self.drop_path_rate
+                    rng_dp = self.make_rng("droppath")
+                    ra, rf = jax.random.split(rng_dp)
+                    s_a = jax.random.bernoulli(ra, keep, (nb,)).astype(
+                        jnp.float32) / keep
+                    s_f = jax.random.bernoulli(rf, keep, (nb,)).astype(
+                        jnp.float32) / keep
+                else:
+                    s_a = jnp.ones((nb,), jnp.float32)
+                    s_f = jnp.ones((nb,), jnp.float32)
+                return mit_block_train(
+                    x.astype(self.dtype), g1, be1, wq, bq, k, v, wpr, bpr,
+                    g2, be2, k1, b1, kdw, bdw, k2, b2, s_a, s_f,
+                    self.num_heads, self.norm_eps,
+                    self.train_block_impl == "full-interpret")
         if use_mega:
             # Whole block as ONE Pallas kernel (ops/stage_block.py): LN1 +
             # q-proj + SRA attention + out-proj + residual + LN2 + MixFFN +

@@ -69,14 +69,16 @@ class SegmentorConfig:
     # 245.0 composed at B1 480². Inference-only (no VJP) — the dispatch
     # gates on `deterministic`, so training always takes the composed path.
     block_impl: str | tuple | None = (None, "fused", "fused", None)
-    # TRAINING-path block-FFN fusion (ops/mixffn.block_ffn_train): serves
-    # x + s·FFN(LN2(x)) from a differentiable Pallas pair. Default: stages
-    # 1-3, measured 0.54×/0.38×/0.69× their composed fwd+bwd at B=8
-    # (tools/bench_ffn_train.py); stage 4 composed (kernel measured 1.55 vs
-    # 0.95 ms/block there — same shape of loss as the inference megakernel's
-    # stage-4 row). B=8 480² train step: 168.9 → 152.8 ms with "ffn" on all
-    # stages; see DEVELOPMENT.md "Round-5 train attack".
-    train_block_impl: str | tuple | None = ("ffn", "ffn", "ffn", None)
+    # TRAINING-path block fusion. "full" = the whole block (both halves) as
+    # a differentiable Pallas pair (ops/stage_block.mit_block_train:
+    # megakernel forward + recompute-from-x backward emitting dx, dK/dV and
+    # every parameter gradient); "ffn" = only the FFN half
+    # (ops/mixffn.block_ffn_train). Default: "full" at stages 1-3, composed
+    # at stage 4 (its 225-token grid is too small to beat XLA's flat
+    # matmuls: full-everywhere measured 147.3 vs 143.9 ms). Measured B=8
+    # 480² step: 176.8 (r4) → 168.9 (CE kernels) → 150.0 (ffn 1-3) →
+    # 143.9 ms (this default); see DEVELOPMENT.md "Round-5 train attack".
+    train_block_impl: str | tuple | None = ("full", "full", "full", None)
     test_cfg: TestConfig = dataclasses.field(default_factory=TestConfig)
 
     @property

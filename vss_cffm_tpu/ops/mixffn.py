@@ -279,7 +279,7 @@ def mixffn_fused(x, w1, b1, kdw, bdw, w2, b2, interpret: bool = False):
 # 16 MB default is a compiler default, not the hardware: v5e has 128 MB).
 # A roomier stack buys a larger row tile, and the ±(2,3)-row halo recompute
 # amortizes as (th+5)/th.
-_BWD_VMEM_LIMIT = 38 << 20
+_BWD_VMEM_LIMIT = 64 << 20
 
 
 def _pick_th_train(h: int, wp: int, c: int, ch: int, dt_bytes: int,
