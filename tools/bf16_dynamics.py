@@ -62,7 +62,7 @@ def make_color_tree(root: str, hw: int = 64, frames: int = 12,
 
 
 def run_once(root: str, dtype, steps: int, variant: str, hw: int,
-             num_classes: int = 5):
+             num_classes: int = 5, seed: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +75,7 @@ def run_once(root: str, dtype, steps: int, variant: str, hw: int,
 
     ds = VSPWVideoDataset(root, "train", crop_size=(hw, hw),
                           img_scale=(hw, hw))
-    loader = TrainLoader(ds, batch_size=2, num_workers=1, seed=0)
+    loader = TrainLoader(ds, batch_size=2, num_workers=1, seed=seed)
     cfg = build_model_config(variant, num_classes=num_classes)
     model = CFFMSegmentor(cfg, dtype=dtype)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
@@ -85,7 +85,7 @@ def run_once(root: str, dtype, steps: int, variant: str, hw: int,
     tx = build_optimizer(variables["params"], ocfg)
     state = TrainState.create(variables, tx)
     step = make_train_step(model, tx, donate=False)
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(seed)
     losses = []
     for it, batch in zip(range(steps), loader):
         state, m = step(state, batch, jax.random.fold_in(key, it))
@@ -102,6 +102,7 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--variant", default="b0")
     ap.add_argument("--hw", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -110,9 +111,9 @@ def main():
     try:
         make_color_tree(root, hw=args.hw)
         loss_f32, miou_f32 = run_once(root, jnp.float32, args.steps,
-                                      args.variant, args.hw)
+                                      args.variant, args.hw, seed=args.seed)
         loss_bf16, miou_bf16 = run_once(root, jnp.bfloat16, args.steps,
-                                        args.variant, args.hw)
+                                        args.variant, args.hw, seed=args.seed)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
