@@ -64,6 +64,11 @@ def test_pallas_custom_vjp_matches_xla_grad(rng, monkeypatch):
         m, "_cfm_attention_bwd_pallas",
         lambda *a, **k: orig_b(*a, **{**k, "interpret": True}),
     )
+    orig_rc = m._cfm_attention_bwd_pallas_rc
+    monkeypatch.setattr(
+        m, "_cfm_attention_bwd_pallas_rc",
+        lambda *a, **k: orig_rc(*a, **{**k, "interpret": True}),
+    )
     nw, nh, hd, area = 4, 2, 16, 49
     c = nh * hd
     gsizes = [49, 132, 25]

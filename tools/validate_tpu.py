@@ -250,9 +250,15 @@ def main():
             cfgv = _dc.replace(cfgv, block_impl=None, embed_impl=None)
         model = CFFMSegmentor(cfgv, dtype=jnp.bfloat16)
         v = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
-        dt = time_apply_chunked(lambda x, m=model: m.apply(v, x, False), imgs,
-                                iters=30, chunk=15)
-        results[f"cffm_{variant}_fps"] = round(1 / dt, 1)
+        try:
+            dt = time_apply_chunked(lambda x, m=model: m.apply(v, x, False),
+                                    imgs, iters=30, chunk=15)
+            results[f"cffm_{variant}_fps"] = round(1 / dt, 1)
+        except Exception as e:  # noqa: BLE001
+            # the axon tunnel rejects B5-sized HLO uploads (HTTP 413); on a
+            # real TPU VM libtpu compiles in-process without the cap
+            results[f"cffm_{variant}_fps"] = f"unmeasurable: {str(e)[:80]}"
+            continue
         if variant == "b2":
             # fused-default vs composed forward parity on silicon
             comp = CFFMSegmentor(

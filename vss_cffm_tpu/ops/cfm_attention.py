@@ -117,6 +117,136 @@ def _fwd_kernel(*refs, G: int, with_probs: bool):
         p_ref[0] = p.astype(p_ref.dtype)
 
 
+def _bwd_kernel_rc(*refs, G: int, tw: int, n_w0: int, gsizes: tuple):
+    """Attention backward with the softmax RECOMPUTED in-kernel (flash
+    style) from qs/K/bias/mask — the probabilities never touch HBM in
+    either direction. Identical math to the forward kernel's softmax (same
+    inputs, same f32 ops), so the gradient quality of the f32-probs
+    residual is kept while its ~0.73 GB/step of HBM round-trip
+    (round-5: ~2-3 ms of the B=8 step) disappears. Everything after ``p``
+    matches ``_bwd_kernel``."""
+    g_ref, qs_ref = refs[0], refs[1]
+    kts = refs[2 : 2 + G]
+    vhs = refs[2 + G : 2 + 2 * G]
+    bias_ref = refs[2 + 2 * G]
+    mask_ref = refs[3 + 2 * G]
+    dq_ref = refs[4 + 2 * G]
+    dk_refs = refs[5 + 2 * G : 5 + 3 * G]
+    dv_refs = refs[5 + 3 * G : 5 + 4 * G]
+    db_ref = refs[5 + 4 * G]
+
+    i = pl.program_id(1)
+    gcot = g_ref[0]  # (tw, 49, hd) bf16
+    qs = qs_ref[0]
+    kt_all = jnp.concatenate([r[0] for r in kts], axis=-1)  # (tw, hd, N)
+    v_all = jnp.concatenate([r[0] for r in vhs], axis=1)    # (tw, N, hd)
+
+    scores = jax.lax.dot_general(
+        qs, kt_all, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    scores = scores + bias_ref[0][None]
+    scores = scores + mask_ref[...][:, None, :]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (tw, 49, N) f32
+
+    dp = jax.lax.dot_general(
+        gcot, v_all, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    r = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - r)
+    ds_b = ds.astype(gcot.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        ds_b, kt_all, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_all = jax.lax.dot_general(
+        ds_b, qs, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dv_all = jax.lax.dot_general(
+        p.astype(gcot.dtype), gcot,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    off = 0
+    for g in range(G):
+        n_g = gsizes[g]
+        dk_refs[g][0] = dk_all[:, off : off + n_g].astype(dk_refs[g].dtype)
+        dv_refs[g][0] = dv_all[:, off : off + n_g].astype(dv_refs[g].dtype)
+        off += n_g
+
+    valid = (i * tw + jax.lax.broadcasted_iota(jnp.int32, (tw, 1, 1), 0)) < n_w0
+    db = jnp.sum(jnp.where(valid, ds, 0.0), axis=0)  # (49, N)
+
+    @pl.when(i == 0)
+    def _():
+        db_ref[0] = db
+
+    @pl.when(i > 0)
+    def _():
+        db_ref[0] = db_ref[0] + db
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "interpret"))
+def _cfm_attention_bwd_pallas_rc(q, ks, vs, bias, mask, g, nh: int,
+                                 interpret: bool = False):
+    """Gradients with in-kernel softmax recompute (no probs residual)."""
+    n_w0, area, c = q.shape
+    hd = c // nh
+    scale = hd**-0.5
+    gsizes = _group_sizes(ks)
+    G = len(gsizes)
+    n_total = sum(gsizes)
+    qh, kts, vhs = _head_major(q, ks, vs, nh)
+    gh = g.reshape(n_w0, area, nh, hd).transpose(2, 0, 1, 3)
+
+    grid = (nh, -(-n_w0 // _TW))
+    blk = lambda *shape: pl.BlockSpec((1, _TW) + shape, lambda h, i: (h, i, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_rc, G=G, tw=_TW, n_w0=n_w0,
+                          gsizes=tuple(gsizes)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nh, n_w0, area, hd), q.dtype),
+            *[jax.ShapeDtypeStruct((nh, n_w0, g_, hd), q.dtype) for g_ in gsizes],
+            *[jax.ShapeDtypeStruct((nh, n_w0, g_, hd), q.dtype) for g_ in gsizes],
+            jax.ShapeDtypeStruct((nh, area, n_total), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            blk(area, hd),                     # g
+            blk(area, hd),                     # q·scale
+            *[blk(hd, g_) for g_ in gsizes],   # kᵀ
+            *[blk(g_, hd) for g_ in gsizes],   # v
+            pl.BlockSpec((1, area, n_total), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TW, n_total), lambda h, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            blk(area, hd),
+            *[blk(g_, hd) for g_ in gsizes],
+            *[blk(g_, hd) for g_ in gsizes],
+            pl.BlockSpec((1, area, n_total), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(gh, qh, *kts, *vhs, bias.astype(jnp.float32), mask.astype(jnp.float32))
+    dq_h = outs[0]
+    dks_h = outs[1 : 1 + G]
+    dvs_h = outs[1 + G : 1 + 2 * G]
+    dbias = outs[1 + 2 * G]
+
+    dq = (dq_h * scale).transpose(1, 2, 0, 3).reshape(n_w0, area, c)
+    dks = tuple(
+        d.transpose(1, 2, 0, 3).reshape(n_w0, gsizes[i], c).astype(ks[i].dtype)
+        for i, d in enumerate(dks_h)
+    )
+    dvs = tuple(
+        d.transpose(1, 2, 0, 3).reshape(n_w0, gsizes[i], c).astype(vs[i].dtype)
+        for i, d in enumerate(dvs_h)
+    )
+    return dq.astype(q.dtype), dks, dvs, dbias
+
+
 def _bwd_kernel(*refs, G: int, tw: int, n_w0: int, gsizes: tuple):
     """Attention backward from saved probabilities (no forward recompute).
 
@@ -356,10 +486,14 @@ def _cfm_attention_xla(q, ks, vs, bias, mask, nh: int):
 
 
 # --- differentiable Pallas wrapper ------------------------------------------
-# forward kernel + hand-written backward kernel from saved probabilities.
-# _BWD='xla' falls back to the VJP of the (identical-math) XLA formulation —
-# the correctness oracle for the backward kernel.
-_BWD = "kernel"
+# forward kernel + hand-written backward kernel. Modes:
+#   'recompute' (default, round 5): the backward kernel recomputes the
+#       softmax in-VMEM from qs/K/bias/mask — f32-exact probabilities with
+#       no probs residual in HBM (the 'kernel' mode's f32 residual was
+#       ~0.73 GB/step of write+read at the B=8 geometry);
+#   'kernel': forward saves the probabilities, backward consumes them;
+#   'xla': VJP of the identical-math XLA formulation (correctness oracle).
+_BWD = "recompute"
 
 # Residual dtype for the saved softmax probabilities. Default f32: the
 # backward then consumes exactly the probabilities the forward computed
@@ -386,6 +520,10 @@ def _cfm_attention_pallas(q, ks, vs, bias, mask, nh: int,
 
 
 def _cfm_fwd(q, ks, vs, bias, mask, nh: int, infer_grouped: bool):
+    if _BWD == "recompute":
+        out = _cfm_attention_pallas_impl(
+            q, tuple(ks), tuple(vs), bias, mask, nh, with_probs=False)
+        return out, (q, ks, vs, bias, mask, None)
     if _BWD == "kernel":
         out, probs = _cfm_attention_pallas_impl(
             q, tuple(ks), tuple(vs), bias, mask, nh, with_probs=True)
@@ -396,6 +534,10 @@ def _cfm_fwd(q, ks, vs, bias, mask, nh: int, infer_grouped: bool):
 
 def _cfm_bwd(nh: int, infer_grouped: bool, res, g):
     q, ks, vs, bias, mask, probs = res
+    if _BWD == "recompute":
+        dq, dks, dvs, dbias = _cfm_attention_bwd_pallas_rc(
+            q, tuple(ks), tuple(vs), bias, mask, g, nh)
+        return dq, dks, dvs, dbias.astype(bias.dtype), jnp.zeros_like(mask)
     if probs is not None:
         dq, dks, dvs, dbias = _cfm_attention_bwd_pallas(
             q, tuple(ks), tuple(vs), probs, g, nh)
