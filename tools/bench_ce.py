@@ -59,8 +59,13 @@ def main():
         return t
 
     if not args.skip_v2:
-        bench("v2 fwd (ch=4)",
-              lambda x: ceu._ce_fwd_loss_pallas(x, lph, s, img_w, True)[0])
+        for ch in args.ch:
+            try:
+                bench(f"v2 fwd (ch={ch})",
+                      lambda x, ch=ch: ceu._ce_fwd_loss_pallas(
+                          x, lph, s, img_w, True, ch=ch)[0])
+            except Exception as e:  # noqa: BLE001
+                print(f"v2 fwd (ch={ch}) FAILED: {str(e)[:150]}")
         bench("v2 bwd (ch=4)",
               lambda x: ceu._ce_bwd_loss_pallas(x, lph, ct, s, c, img_w))
     for ch in args.ch:

@@ -425,18 +425,19 @@ def _fwd_loss_kernel(prev_ref, cur_ref, next_ref, lbl_ref, wsum_ref, corr_ref,
     corr_ref[0, 0] = cor
 
 
-@functools.partial(jax.jit, static_argnames=("s", "img_w", "count_acc", "interpret"))
+@functools.partial(jax.jit, static_argnames=("s", "img_w", "count_acc", "ch",
+                                             "interpret"))
 def _ce_fwd_loss_pallas(logits, labels_ph, s: int, img_w: float,
-                        count_acc: bool = True, interpret: bool = False):
+                        count_acc: bool = True, ch: int = 4,
+                        interpret: bool = False):
     n, h, w, c = logits.shape
     cp = -(-c // 128) * 128
     if cp != c:
         logits = jnp.pad(logits, ((0, 0),) * 3 + ((0, cp - c),),
                          constant_values=_NEG)
-    # ch=4: the carried (tot, cor) accumulators extend live ranges across the
-    # phase loop — at ch=8 Mosaic's stack allocation hits 20.1M > 16M VMEM at
-    # the (120, 120, 128) train geometry; ch=4 fits comfortably
-    ch = 4
+    # ch=4 measured best; larger chunks need the raised scoped-VMEM ceiling
+    # (the fully-unrolled phase loop keeps ~16 live sets) and measured no
+    # faster (tools/bench_ce.py)
     while ch > 1 and h % ch:
         ch -= 1
     grid = (n, h // ch)
@@ -460,6 +461,7 @@ def _ce_fwd_loss_pallas(logits, labels_ph, s: int, img_w: float,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(scalar_spec, scalar_spec),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 << 20),
         interpret=interpret,
     )(logits, logits, logits, labels_ph)
     return jnp.sum(wsum), jnp.sum(corr)
@@ -843,7 +845,10 @@ def _bwd_loss_kernel5(xprev_ref, xcur_ref, xnext_ref,
 @functools.partial(jax.jit, static_argnames=("s", "c", "img_w", "ch",
                                              "interpret"))
 def _ce_bwd_loss_pallas5(logits, labels_phw, ct, s: int, c: int, img_w: float,
-                         ch: int = 4, interpret: bool = False):
+                         ch: int = 12, interpret: bool = False):
+    # ch=12 under the 40 MB scoped ceiling: 12.8 → 11.4 ms at the B=8 train
+    # geometry (tools/bench_ce.py ch sweep); falls back to smaller even
+    # divisors of h automatically
     n, h, w, _ = logits.shape
     cp = -(-c // 128) * 128
     if cp != c:
@@ -887,6 +892,7 @@ def _ce_bwd_loss_pallas5(logits, labels_phw, ct, s: int, c: int, img_w: float,
         ],
         out_specs=pl.BlockSpec((1, ch, w, cp), lambda ni, i: (ni, i, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 << 20),
         interpret=interpret,
     )(logits, logits, logits,
       labels_phw, labels_phw, labels_phw,
@@ -1151,6 +1157,7 @@ def _ce_bwd_loss_pallas3(logits, labels_phw, ct, s: int, c: int, img_w: float,
         ],
         out_specs=pl.BlockSpec((1, ch, w, cp), lambda ni, i: (ni, i, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 << 20),
         interpret=interpret,
     )(logits, logits, logits,
       labels_phw, labels_phw, labels_phw,
