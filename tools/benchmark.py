@@ -89,8 +89,15 @@ def benchmark_train(cfg, iters=30, warmup=3, batch=None):
         "labels": jnp.asarray(rng.randint(0, cfg.model.head.num_classes,
                                           (b, t, h, w)), jnp.int32),
     }
+    init_kw = {}
+    if cfg.model.head.mode == "finetune":
+        # CFFM++ finetune consumes per-video k-means centres (the 80%-subset
+        # store pads to 100 per video — eval/prototypes.py)
+        batch_data["cluster_centers"] = jnp.asarray(
+            rng.randn(b, 100, cfg.model.head.embed_dim), jnp.float32)
+        init_kw["cluster_centers"] = batch_data["cluster_centers"][:1]
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                    batch_data["imgs"][:1])
+                                    batch_data["imgs"][:1], **init_kw)
     tx = build_optimizer(variables["params"], cfg.optim)
     state = TrainState.create(variables, tx)
     step = make_train_step(model, tx)

@@ -907,7 +907,7 @@ def _phase_coeff_dyn(p, s: int):
     return delta, d - delta.astype(jnp.float32)
 
 
-def _lane_pick(x3, idx, width: int):
+def _lane_pick(x3, idx):
     """(r, w, L) → (r, w, 1): lane ``idx`` (traced scalar) via masked reduce —
     dynamic lane slicing is not lane-aligned, a 16-lane masked sum is free."""
     lane = jax.lax.broadcasted_iota(jnp.int32, x3.shape, 2)
@@ -945,7 +945,7 @@ def _fwd_loss_kernel3(prev_ref, cur_ref, next_ref, lbl_ref, wsum_ref, corr_ref,
         m = jnp.max(up, axis=-1, keepdims=True)  # (ch, w, 1)
         e = jnp.exp(up - m)
         lse = m + jnp.log(jnp.sum(e, axis=-1, keepdims=True))
-        lbl = _lane_pick(lbl_all, ph * s + pw, s * s)  # (ch, w, 1)
+        lbl = _lane_pick(lbl_all, ph * s + pw)  # (ch, w, 1)
         valid = (lbl >= 0) & (lbl < num_classes)
         safe = jnp.where(valid, lbl, 0)
         picked = jnp.sum(jnp.where(iota_c == safe, up, 0.0), axis=-1,
@@ -1057,7 +1057,7 @@ def _bwd_loss_kernel3(xprev_ref, xcur_ref, xnext_ref,
         wr = jnp.where(neg, 0.0, fw)
         up = xh_l * wl + xh * wm + xh_r * wr
 
-        lbl = _lane_pick(lbl_halo, ph * s + pw, s * s)  # (he, w, 1)
+        lbl = _lane_pick(lbl_halo, ph * s + pw)  # (he, w, 1)
         valid = (lbl >= 0) & (lbl < num_classes)
         safe = jnp.where(valid, lbl, 0)
         gv = jnp.where(valid, ct, 0.0)  # (he, w, 1)
