@@ -25,11 +25,12 @@ zero-padding of the *hidden* map (conv pads the dwconv input, i.e. the fc1
 the valid (row, col) window — a padded input column would otherwise read
 ``b1``.
 
-Inference-only (no VJP): training keeps the unfused conv path (see
-``models/mit.MixFFN``). Numerics: the unfused bf16 path rounds the hidden
-to bf16 between fc1/dwconv/fc2; here taps accumulate from the f32 matmul
-result (strictly more accurate), and the fc2 input is rounded to the
-compute dtype once after GELU.
+``mixffn_fused``/``block_ffn_fused`` carry no VJP; training is served by
+the differentiable ``block_ffn_train`` pair at the bottom of this file
+(round 5) or the full-block pair in ``ops/stage_block.py``. Numerics: the
+unfused bf16 path rounds the hidden to bf16 between fc1/dwconv/fc2; here
+taps accumulate from the f32 matmul result (strictly more accurate), and
+the fc2 input is rounded to the compute dtype once after GELU.
 """
 
 from __future__ import annotations

@@ -37,8 +37,9 @@ inputs round to the compute dtype (bf16) like the unfused path's Dense
 boundaries. The unfused path additionally rounds the attention scores and
 the LN outputs to bf16 between ops — the kernel is strictly more accurate
 there, so parity tests use bf16-scale tolerances (same policy as
-``block_ffn_fused``). Inference-only (no VJP): training keeps the unfused
-composition.
+``block_ffn_fused``). ``mit_block_fused`` itself carries no VJP; training
+is served by the differentiable ``mit_block_train`` pair at the bottom of
+this file (round 5).
 """
 
 from __future__ import annotations
@@ -657,6 +658,9 @@ def _mit_block_train_fwd(x, g1, be1, wq, bq, k, v, wproj, bproj, g2, be2,
     dt = x.dtype
     sp = -(-s // 128) * 128
     th = _pick_th(h, w, wp, c, ch, num_heads, c // num_heads, sp, dt.itemsize)
+    if th is None:  # callers gate on the (stricter) backward picker
+        raise ValueError("full-block train forward does not fit VMEM at "
+                         f"geometry ({h}, {w}, {c})x{ch}")
     kt, vp, wqh, bqh, wph, dh, sp, _ = _head_stacks(x, k, v, wq, bq, wproj,
                                                     num_heads, dt)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
